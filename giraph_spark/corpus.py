@@ -1,0 +1,262 @@
+"""Deterministic synthetic web-page corpus + Arrow-vectorized extraction.
+
+The engine's external-facing input is a Common-Crawl-style table of web
+pages ``(url: string, warc_ts: timestamp, html: binary, text: string,
+lang: string)``; the graph algorithms run over an edge table derived from
+it. This module plays the role of the reference's synthetic input
+generators (``giraph-core/.../io/formats/PseudoRandomVertexInputFormat.java:48``,
+``WattsStrogatzVertexInputFormat.java:49`` — knobs
+``PseudoRandomInputFormatConstants.java:26-35``) but produces web pages
+whose link structure has a power-law out-degree plus a handful of
+mega-hub targets, so the gather stage exercises skew salting.
+
+Everything is deterministic (splitmix64 streams keyed by ``(seed, row)``)
+and generated distributed via ``mapInPandas`` (Arrow batches, numpy
+vectorized — no driver-side materialization, no per-row Python UDFs).
+
+Extraction (``with_extracted_text`` / ``extract_links``) is pure
+pandas-vectorized regex over a frozen HTML grammar, so the per-row
+invariant ``extract_text(html) == text`` holds byte-identically.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_HUBS = 10          # pages 0..9 receive a disproportionate share of links
+HUB_PROB_1_IN = 8    # ~1/8 of all links point at a hub page
+MAX_OUT_DEGREE = 20
+_EPOCH = pd.Timestamp("2024-01-01T00:00:00")
+
+_VOCAB = np.array(
+    """the quick brown fox jumps over lazy dog data spark graph page rank
+    crawl web link node edge vertex label component triangle shuffle join
+    partition cluster iceberg arrow vector hash salt skew hub degree text
+    html parse extract token corpus index query engine scale batch stream
+    merge sort scan filter count sum mean union split apply march science
+    river stone cloud metal paper glass light sound""".split()
+)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a deterministic uint64 stream."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(x, dtype=np.uint64).copy()
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
+def _stream(seed: int, tag: int, idx: np.ndarray) -> np.ndarray:
+    """Independent uint64 stream per (seed, tag) over row indices."""
+    return _mix64(idx.astype(np.uint64) ^ _mix64(np.uint64(seed * 1_000_003 + tag)))
+
+
+def page_url(i: np.ndarray, n_sites: int) -> np.ndarray:
+    sites = (i % n_sites).astype(str)
+    return "https://site" + pd.Series(sites) + ".example/p/" + pd.Series(i.astype(str))
+
+
+def _out_degree(seed: int, i: np.ndarray) -> np.ndarray:
+    """Power-law (zipf a~2) out-degree in [1, MAX_OUT_DEGREE]."""
+    u = (_stream(seed, 1, i) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    deg = np.minimum(MAX_OUT_DEGREE, np.maximum(1, (1.0 / (1.0 - u)).astype(np.int64)))
+    return deg
+
+
+def _link_targets(seed: int, src: np.ndarray, k: np.ndarray, n_pages: int) -> np.ndarray:
+    """Target page index for the k-th link of page src (hub-skewed)."""
+    r = _mix64(_stream(seed, 2, src) + k.astype(np.uint64))
+    is_hub = (r % np.uint64(HUB_PROB_1_IN)) == 0
+    hub_t = (r >> np.uint64(8)) % np.uint64(N_HUBS)
+    uni_t = (r >> np.uint64(8)) % np.uint64(n_pages)
+    return np.where(is_hub, hub_t, uni_t).astype(np.int64)
+
+
+def _page_text(seed: int, i: np.ndarray) -> tuple[pd.Series, pd.Series]:
+    """Two deterministic paragraphs per page (ground-truth `text` is
+    para1 + "\\n" + para2). Includes a literal '&' so HTML escaping is
+    exercised by the byte-identical invariant."""
+    n = len(i)
+    n_words = (12 + (_stream(seed, 3, i) % np.uint64(24))).astype(np.int64)
+    max_w = int(n_words.max()) if n else 0
+    # (n, max_w) matrix of vocab indices — fully vectorized
+    widx = (
+        _mix64(_stream(seed, 4, i)[:, None] + np.arange(max_w, dtype=np.uint64)[None, :])
+        % np.uint64(len(_VOCAB))
+    )
+    words = _VOCAB[widx.astype(np.int64)]
+    para1 = pd.Series(
+        [" ".join(words[r, : n_words[r] // 2]) for r in range(n)], dtype=object
+    )
+    para2 = pd.Series(
+        [" ".join(words[r, n_words[r] // 2 : n_words[r]]) for r in range(n)],
+        dtype=object,
+    )
+    amp = (_stream(seed, 5, i) % np.uint64(4)) == 0
+    para2 = para2.where(~amp, para2 + " salt & pepper")
+    return para1, para2
+
+
+_LANGS = np.array(["en"] * 17 + ["de", "fr", "es"])
+
+
+def synth_corpus(
+    spark: SparkSession,
+    n_pages: int,
+    n_sites: int | None = None,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic corpus (url, warc_ts, html, text, lang)."""
+    if n_sites is None:
+        n_sites = max(10, n_pages // 50)
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            i = pdf["id"].to_numpy(dtype=np.int64)
+            n = len(i)
+            urls = page_url(i, n_sites)
+            para1, para2 = _page_text(seed, i)
+            text = para1 + "\n" + para2
+            deg = _out_degree(seed, i)
+            # ragged link targets, vectorized via repeat + per-link offsets
+            src_rep = np.repeat(i, deg)
+            k = np.concatenate([np.arange(d, dtype=np.uint64) for d in deg]) if n else np.array([], dtype=np.uint64)
+            tgt = _link_targets(seed, src_rep, k, n_pages)
+            tgt_site = tgt % n_sites
+            src_site = src_rep % n_sites
+            # relative href when the target lives on the same site (exercises
+            # URL resolution); absolute otherwise
+            t_str = tgt.astype(str)
+            abs_href = "https://site" + pd.Series(tgt_site.astype(str)) + ".example/p/" + pd.Series(t_str)
+            rel_href = "/p/" + pd.Series(t_str)
+            href = pd.Series(np.where(tgt_site == src_site, rel_href, abs_href), dtype=object)
+            anchors = '<a href="' + href + '">l</a>'
+            anchors_per_page = anchors.groupby(src_rep).agg("".join)
+            anchor_col = pd.Series(i).map(anchors_per_page).fillna("").to_numpy(dtype=object)
+            esc1 = para1.str.replace("&", "&amp;", regex=False)
+            esc2 = para2.str.replace("&", "&amp;", regex=False)
+            html = (
+                "<html><head><title>Page " + pd.Series(i.astype(str)) + "</title></head>"
+                "<body><p>" + esc1 + "</p><p>" + esc2 + "</p><nav>"
+                + pd.Series(anchor_col) + "</nav></body></html>"
+            )
+            yield pd.DataFrame(
+                {
+                    "url": urls.astype(object),
+                    "warc_ts": _EPOCH + pd.to_timedelta(i, unit="s"),
+                    "html": html.str.encode("utf-8"),
+                    "text": text.astype(object),
+                    "lang": pd.Series(_LANGS[(_stream(seed, 6, i) % np.uint64(len(_LANGS))).astype(np.int64)], dtype=object),
+                }
+            )
+
+    base = spark.range(0, n_pages, numPartitions=partitions)
+    return base.mapInPandas(
+        gen, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extraction — Arrow-vectorized (pandas C-regex), frozen grammar
+# ---------------------------------------------------------------------------
+
+_ENTITY_MAP = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
+
+
+def _extract_text_pd(html: pd.Series) -> pd.Series:
+    """Byte-identical text extraction: concatenation of <p> bodies joined
+    by newline, HTML entities unescaped. Pure function of the html bytes
+    (per-row invariant from BASELINE.json input_hint)."""
+    s = html.str.decode("utf-8")
+    paras = s.str.findall(r"<p>(.*?)</p>")
+    out = paras.map(lambda xs: "\n".join(xs))
+    for ent, ch in _ENTITY_MAP:
+        out = out.str.replace(ent, ch, regex=False)
+    return out
+
+
+def with_extracted_text(pages: DataFrame, out_col: str = "extracted_text") -> DataFrame:
+    """Add the extracted-text column via a vectorized Arrow UDF."""
+
+    @F.pandas_udf("string")
+    def _udf(html: pd.Series) -> pd.Series:
+        return _extract_text_pd(html)
+
+    return pages.withColumn(out_col, _udf(F.col("html")))
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(url, href) pairs with relative hrefs resolved against the page's
+    origin — vectorized Arrow path (mapInPandas), one output row per link.
+
+    Plays the role of the reference's edge-input stage
+    (``io/EdgeInputFormat.java``; edges routed to owners in
+    ``worker/EdgeInputSplitsCallable.java``) with the parse done here
+    instead of at a text-file boundary.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            html = pdf["html"].str.decode("utf-8")
+            hrefs = html.str.findall(r'<a\s+href="([^"]*)"')
+            counts = hrefs.map(len).to_numpy(dtype=np.int64)
+            urls = np.repeat(pdf["url"].to_numpy(dtype=object), counts)
+            flat = pd.Series(
+                [h for lst in hrefs for h in lst], dtype=object
+            )
+            if len(flat) == 0:
+                yield pd.DataFrame({"url": pd.Series(dtype=object), "href": pd.Series(dtype=object)})
+                continue
+            # resolve scheme-relative/path-relative hrefs against the origin
+            origin = pd.Series(urls, dtype=object).str.extract(r"^(https?://[^/]+)", expand=False)
+            is_rel = flat.str.startswith("/")
+            resolved = flat.where(~is_rel, origin.to_numpy(dtype=object) + flat)
+            yield pd.DataFrame({"url": pd.Series(urls, dtype=object), "href": resolved})
+
+    return pages.select("url", "html").mapInPandas(gen, schema="url string, href string")
+
+
+def normalize_url(col: Column) -> Column:
+    """Canonical form for id hashing: lowercase, strip fragment and any
+    trailing slash. Pure Spark SQL expressions (JVM-side, codegen)."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"#.*$", "")
+    return F.regexp_replace(c, r"/$", "")
+
+
+def url_id(col: Column) -> Column:
+    """Deterministic 64-bit vertex id: xxhash64 of the normalized URL —
+    stable across runs and parallelism levels (replaces the reference's
+    WritableComparable vertex ids, ``graph/Vertex.java:63``)."""
+    return F.xxhash64(normalize_url(col))
+
+
+def build_edges(pages: DataFrame, drop_self_loops: bool = True) -> DataFrame:
+    """Derive the deduped edge table (src: long, dst: long) from pages.
+
+    Graph-prep semantics follow
+    ``giraph-block-app-8/.../prepare_graph/PrepareGraphPieces.java:87-139``
+    (dedup + self-loop drop).
+    """
+    links = extract_links(pages)
+    edges = links.select(
+        url_id(F.col("url")).alias("src"), url_id(F.col("href")).alias("dst")
+    )
+    if drop_self_loops:
+        edges = edges.where(F.col("src") != F.col("dst"))
+    return edges.dropDuplicates(["src", "dst"])
+
+
+def url_mapping(pages: DataFrame) -> DataFrame:
+    """(id, url) dimension for joining results back to URLs."""
+    return pages.select(url_id(F.col("url")).alias("id"), "url").dropDuplicates(["id"])

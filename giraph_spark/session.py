@@ -1,0 +1,49 @@
+"""SparkSession construction tuned for the superstep engine.
+
+The reference engine's parallelism knobs (workers, compute threads:
+``giraph-core/.../conf/GiraphConstants.java:800``, partition count
+``partition/PartitionUtils.java:186-213``) map onto ``local[N]`` cores and
+``spark.sql.shuffle.partitions``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "giraph-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a local SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all
+    CPUs. ``shuffle_partitions`` defaults to ``cores`` — the engine's
+    superstep shuffles (message routing) are sized to the executor count,
+    playing the role of Giraph's ``partition = |hash(id)| % P`` with
+    ``P ~ multiplier * workers^2`` (HashPartitionerFactory.java:36-43);
+    on a real cluster you would raise this to ~2-3x total cores.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

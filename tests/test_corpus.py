@@ -1,0 +1,68 @@
+"""Corpus generator + extraction invariants.
+
+The per-row invariant from BASELINE.json input_hint: byte-identical
+extracted text per url (`extract_text(html) == text` exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from giraph_spark.corpus import (
+    N_HUBS,
+    build_edges,
+    extract_links,
+    synth_corpus,
+    url_id,
+    with_extracted_text,
+)
+
+
+def test_byte_identical_extraction(spark):
+    pages = synth_corpus(spark, n_pages=500, seed=42)
+    df = with_extracted_text(pages)
+    bad = df.where(F.col("extracted_text") != F.col("text")).count()
+    assert bad == 0
+    assert df.count() == 500
+
+
+def test_corpus_deterministic(spark):
+    a = synth_corpus(spark, 300, seed=42).orderBy("url").collect()
+    b = synth_corpus(spark, 300, seed=42).orderBy("url").collect()
+    assert a == b
+    c = synth_corpus(spark, 300, seed=7).orderBy("url").collect()
+    assert a != c
+
+
+def test_links_resolved_to_canonical_urls(spark):
+    pages = synth_corpus(spark, 400, seed=42)
+    links = extract_links(pages)
+    # every resolved href is absolute and points at a generated page url
+    n_rel = links.where(~F.col("href").startswith("https://")).count()
+    assert n_rel == 0
+    known = pages.select(F.col("url").alias("href")).distinct()
+    dangling = links.join(known, "href", "left_anti").count()
+    assert dangling == 0
+
+
+def test_edges_dedup_and_hub_skew(spark):
+    pages = synth_corpus(spark, 1000, seed=42)
+    edges = build_edges(pages).cache()
+    n = edges.count()
+    assert n > 1000
+    assert edges.dropDuplicates(["src", "dst"]).count() == n
+    assert edges.where(F.col("src") == F.col("dst")).count() == 0
+    # hub pages (index 0..N_HUBS-1) should absorb a large share of in-links
+    from giraph_spark.corpus import page_url
+    import numpy as np
+
+    hub_urls = page_url(np.arange(N_HUBS), max(10, 1000 // 50)).tolist()
+    hub_ids = {
+        r.id
+        for r in spark.createDataFrame([(u,) for u in hub_urls], "url string")
+        .select(url_id(F.col("url")).alias("id"))
+        .collect()
+    }
+    hub_in = edges.where(F.col("dst").isin(list(hub_ids))).count()
+    assert hub_in / n > 0.02  # dedup collapses repeats, skew still visible
+    edges.unpersist()
