@@ -1,0 +1,146 @@
+"""Label propagation.
+
+Two variants:
+
+- ``max_label_propagation`` — the reference's max-label computation
+  (``giraph-examples/.../MaxComputation.java:30-47``: set value to max of
+  messages, send on change, halt; golden test MaxComputationTest.java:37-55).
+  Structurally identical to WCC with max instead of min.
+
+- ``label_propagation`` — community LPA (mode of neighbor labels,
+  deterministic tie-break to the smaller label). The reference has no
+  standalone community LPA (its "label propagation" instances are the
+  min/max propagations above — see SURVEY.md §2.4); this is the north-rule
+  operator, reusing the identical superstep skeleton with the update rule
+  swapped: ``groupBy(dst, label).count()`` then an argmax with
+  ``max_by(label, struct(cnt, -label))`` — most-frequent label, ties to
+  the smallest. Synchronous updates, halt when no label changes or
+  ``max_supersteps``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giraph_spark.graph import symmetrize, vertices_from_edges
+from giraph_spark.pregel import PregelRun, gather_messages, run_supersteps
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_supersteps: int = 10,
+    symmetrize_input: bool = True,
+    num_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    verbose: bool = False,
+) -> PregelRun:
+    """Community LPA; result ``vertices``: (id, label).
+
+    Per superstep every vertex adopts the most frequent label among its
+    neighbors (ties -> smallest label); vertices with no in-neighbors keep
+    their label. Synchronous (all updates based on the previous round),
+    so results are deterministic and partitioning-invariant.
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = symmetrize(edges) if symmetrize_input else edges.select("src", "dst")
+    e = e.repartition(num_partitions, "src").persist()
+
+    state = vertices_from_edges(e).select("id", F.col("id").alias("label"))
+
+    def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
+        msgs = e.join(
+            vertices.select(F.col("id").alias("src"), "label"), "src"
+        ).select("dst", "label")
+        # two-stage mode: count per (dst, label) — map-side combined — then
+        # argmax per dst with deterministic tie-break to the smaller label
+        counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        mode = counts.groupBy("dst").agg(
+            F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
+        )
+        new_state = (
+            vertices.join(mode.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias("_changed"),
+            )
+            .persist()
+        )
+        changed = new_state.where("_changed").count()
+        return new_state, {"changed": changed}
+
+    run = run_supersteps(
+        spark,
+        state,
+        step,
+        max_supersteps=max_supersteps,
+        halt=lambda stats, i: stats["changed"] == 0,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        resume=resume,
+        verbose=verbose,
+    )
+    e.unpersist()
+    return PregelRun(
+        vertices=run.vertices.select("id", "label"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )
+
+
+def max_label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Max-label propagation (MaxComputation.java:30-47): every vertex
+    converges to the max id reachable along edge direction; send-on-change."""
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
+
+    state = vertices_from_edges(e).select(
+        "id", F.col("id").alias("label"), F.lit(True).alias("changed")
+    )
+
+    def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
+        frontier = vertices.where("changed").select(F.col("id").alias("src"), "label")
+        msgs = e.join(frontier, "src").select("dst", F.col("label").alias("msg"))
+        gathered = gather_messages(msgs, [("msg", "max")], key="dst")
+        new_state = (
+            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                F.greatest("label", F.coalesce("msg", "label")).alias("label"),
+                (F.coalesce("msg", "label") > F.col("label")).alias("changed"),
+            )
+            .persist()
+        )
+        changed = new_state.where("changed").count()
+        return new_state, {"changed": changed}
+
+    run = run_supersteps(
+        spark,
+        state,
+        step,
+        max_supersteps=max_supersteps,
+        halt=lambda stats, i: stats["changed"] == 0,
+        verbose=verbose,
+    )
+    e.unpersist()
+    return PregelRun(
+        vertices=run.vertices.select("id", "label"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )

@@ -1,0 +1,178 @@
+"""PageRank with sink-mass redistribution — the reference's production
+("Blocks") semantics.
+
+Reference semantics reproduced
+(``giraph-block-app-8/src/main/java/org/apache/giraph/block_app/library/
+pagerank/PageRankIteration.java:137-264``):
+
+- init: every vertex value 1.0 (PageRankSettings.java:38); message-target-
+  only vertices materialized (PageRankInitializeAndNormalizeEdgesPiece.java:81);
+  weighted mode first normalizes out-edge weights to sum 1 per vertex
+  (PageRankInitializeAndNormalizeEdgesPiece.java:70-83)
+- per iteration: allSum = sum of all values; sinkSum = sum over out-degree-0
+  vertices (PageRankIteration.java:160-165); non-sinks scatter
+  ``value * edgeWeight`` (sum-combined, :166-178, :283-286); new value =
+  ``d*(sum(msgs) + sinkSum/N) + (1-d)*allSum/N`` (:254-264) — total mass
+  is conserved at N
+- convergence reducers: L1 / Linf / RMSE of |delta| (:84-96, :204-231;
+  threshold default 1e-5, PageRankSettings.java:49-52), loop wrapped in
+  RepeatUntilBlock (PageRankBlockUtils.java:53-67)
+
+Spark shape per superstep: one scatter join (edges × ranks, co-partitioned
+on src==id so only the small rank state reshuffles), one gather
+``groupBy(dst).sum`` (map-side combined = the DoubleSumMessageCombiner),
+one update join, and ONE driver action computing next-iteration allSum /
+sinkSum and all three convergence metrics in a single aggregate (the
+per-superstep aggregator gather of master/MasterCompute.java:41-47).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giraph_spark.graph import normalize_edge_weights, out_degrees, vertices_from_edges
+from giraph_spark.pregel import PregelRun, gather_messages, run_supersteps
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_supersteps: int = 10,
+    tolerance: float | None = None,
+    convergence: str = "l1",  # l1 | linf | rmse (PageRankConvergenceType.java)
+    weighted: bool = False,
+    salt: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Run PageRank; result ``vertices`` has columns (id, rank).
+
+    ``tolerance=None`` runs exactly ``max_supersteps`` iterations
+    (RepeatBlock semantics); otherwise halt when the chosen convergence
+    metric drops below tolerance (RepeatUntilBlock semantics).
+    """
+    if convergence not in ("l1", "linf", "rmse"):
+        raise ValueError(f"unknown convergence type {convergence!r}")
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # --- init piece -------------------------------------------------------
+    if weighted:
+        e = normalize_edge_weights(edges.select("src", "dst", "weight"))
+    else:
+        deg = out_degrees(edges)
+        e = (
+            edges.select("src", "dst")
+            .join(deg, "src")
+            .withColumn("weight", F.lit(1.0) / F.col("out_degree").cast("double"))
+            .drop("out_degree")
+        )
+    # static for the whole run: hash-partition by the scatter key once and
+    # cache, so each superstep's scatter join reshuffles only the rank state
+    e = e.repartition(num_partitions, "src").persist()
+
+    verts = vertices_from_edges(edges)
+    sinks = verts.join(edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
+    state = (
+        verts.join(sinks.withColumn("is_sink", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.lit(1.0).alias("rank"),
+            F.coalesce("is_sink", F.lit(False)).alias("is_sink"),
+        )
+        .repartition(num_partitions, "id")
+    )
+
+    n_vertices = verts.count()
+    if n_vertices == 0:
+        return PregelRun(vertices=state.select("id", "rank"), supersteps=0, converged=True)
+
+    d = float(damping)
+    # aggregator state visible to the *next* superstep (one-superstep lag,
+    # master/MasterCompute.java:41-47)
+    box: dict[str, float] = {"all_sum": float(n_vertices), "sink_sum": None}  # type: ignore[assignment]
+
+    def _sums(df: DataFrame) -> tuple[float, float]:
+        r = df.agg(
+            F.sum("rank").alias("all_sum"),
+            F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(F.lit(0.0))).alias(
+                "sink_sum"
+            ),
+        ).collect()[0]
+        return float(r["all_sum"]), float(r["sink_sum"] or 0.0)
+
+    def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
+        if box["sink_sum"] is None:  # first superstep (or fresh resume)
+            box["all_sum"], box["sink_sum"] = _sums(vertices)
+        all_sum, sink_sum = box["all_sum"], box["sink_sum"]
+
+        msgs = (
+            e.join(vertices.select(F.col("id").alias("src"), "rank"), "src")
+            .select("dst", (F.col("rank") * F.col("weight")).alias("msg"))
+        )
+        gathered = gather_messages(msgs, [("msg", "sum")], key="dst", salt=salt)
+
+        base = F.lit(d * sink_sum / n_vertices + (1.0 - d) * all_sum / n_vertices)
+        new_state = (
+            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0)) + base).alias("rank"),
+                "is_sink",
+                (F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0)) + base - F.col("rank")).alias(
+                    "_delta"
+                ),
+            )
+        )
+        # persist BEFORE the action so the convergence aggregate also
+        # populates the cache the next superstep reads (single execution)
+        new_state = new_state.persist()
+        # ONE action: next-iteration sums + all convergence reducers
+        row = new_state.agg(
+            F.sum("rank").alias("all_sum"),
+            F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(F.lit(0.0))).alias(
+                "sink_sum"
+            ),
+            F.sum(F.abs(F.col("_delta"))).alias("l1"),
+            F.max(F.abs(F.col("_delta"))).alias("linf"),
+            F.sqrt(F.avg(F.col("_delta") * F.col("_delta"))).alias("rmse"),
+        ).collect()[0]
+        box["all_sum"], box["sink_sum"] = float(row["all_sum"]), float(row["sink_sum"] or 0.0)
+        stats = {
+            "all_sum": box["all_sum"],
+            "sink_sum": box["sink_sum"],
+            "l1": float(row["l1"]),
+            "linf": float(row["linf"]),
+            "rmse": float(row["rmse"]),
+        }
+        return new_state, stats
+
+    halt = None
+    if tolerance is not None:
+        halt = lambda stats, i: stats[convergence] < tolerance  # noqa: E731
+
+    run = run_supersteps(
+        spark,
+        state,
+        step,
+        max_supersteps=max_supersteps,
+        halt=halt,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+        resume=resume,
+        verbose=verbose,
+    )
+    e.unpersist()
+    return PregelRun(
+        vertices=run.vertices.select("id", "rank"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )

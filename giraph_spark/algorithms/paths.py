@@ -1,0 +1,121 @@
+"""Shortest paths: SSSP (weighted min-relaxation) and BFS (hop distance).
+
+Reference semantics:
+- SSSP ``giraph-examples/.../SimpleShortestPathsComputation.java:39-86``:
+  value starts at +inf (0 at source); if min(messages) < value, update and
+  send ``dist + edgeWeight`` to out-neighbors; voteToHalt each superstep
+  (wake-on-message). Min message combiner.
+- BFS ``giraph-block-app-8/.../algo/BreadthFirstSearch.java:58,72,116``:
+  hop-distance propagation from one or many seeds.
+
+Spark shape: classic frontier relaxation — only vertices whose distance
+improved scatter next superstep (send-on-change = the active set).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giraph_spark.graph import vertices_from_edges
+from giraph_spark.pregel import PregelRun, gather_messages, run_supersteps
+
+_INF = float("inf")
+
+
+def sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    source: int | list[int],
+    weight_col: str | None = "weight",
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Result ``vertices``: (id, distance) — unreachable stays +Infinity.
+
+    With ``weight_col=None`` every edge has weight 1.0 (= weighted BFS).
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sources = [source] if isinstance(source, int) else list(source)
+    if weight_col is None:
+        e = edges.select("src", "dst", F.lit(1.0).alias("w"))
+    else:
+        e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("w"))
+    e = e.repartition(num_partitions, "src").persist()
+
+    state = vertices_from_edges(e).select(
+        "id",
+        F.when(F.col("id").isin(sources), F.lit(0.0)).otherwise(F.lit(_INF)).alias("distance"),
+        F.col("id").isin(sources).alias("changed"),
+    )
+
+    def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
+        frontier = vertices.where("changed").select(F.col("id").alias("src"), "distance")
+        msgs = e.join(frontier, "src").select(
+            "dst", (F.col("distance") + F.col("w")).alias("msg")
+        )
+        gathered = gather_messages(msgs, [("msg", "min")], key="dst")
+        new_state = (
+            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                F.least("distance", F.coalesce("msg", "distance")).alias("distance"),
+                (F.coalesce("msg", "distance") < F.col("distance")).alias("changed"),
+            )
+            .persist()
+        )
+        changed = new_state.where("changed").count()
+        return new_state, {"changed": changed}
+
+    run = run_supersteps(
+        spark,
+        state,
+        step,
+        max_supersteps=max_supersteps,
+        halt=lambda stats, i: stats["changed"] == 0,
+        verbose=verbose,
+    )
+    e.unpersist()
+    return PregelRun(
+        vertices=run.vertices.select("id", "distance"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )
+
+
+def bfs(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: int | list[int],
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Hop distance from the seed set (BreadthFirstSearch.java:58-116);
+    result (id, hops) with unreachable = -1 (reference uses a sentinel)."""
+    run = sssp(
+        spark,
+        edges,
+        seeds,
+        weight_col=None,
+        max_supersteps=max_supersteps,
+        num_partitions=num_partitions,
+        verbose=verbose,
+    )
+    hops = run.vertices.select(
+        "id",
+        F.when(F.col("distance") == F.lit(_INF), F.lit(-1))
+        .otherwise(F.col("distance").cast("long"))
+        .alias("hops"),
+    )
+    return PregelRun(
+        vertices=hops,
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )

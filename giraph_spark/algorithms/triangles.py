@@ -1,0 +1,86 @@
+"""Triangle counting — relational, no neighbor-list messages.
+
+Reference semantics (``giraph-block-app-8/.../triangles/
+UndirectedTriangleCountingBlockFactory.java:53-157``): on a symmetric
+graph, every vertex sends its neighbor list to each neighbor (:109-123),
+then counts received ids present in its own neighbor set, asserts the
+count even and divides by 2 (:126-145) — per-vertex triangle count;
+global = sum/3.
+
+The Spark-first restatement avoids shipping neighbor lists entirely
+(Giraph needed one-message-to-many-ids encoding, :152-155, to make that
+affordable): orient edges by degree then id, enumerate each triangle
+exactly once with two joins, and distribute each triangle to its three
+corners. Degree-based orientation bounds the wedge-join fan-out by the
+graph's degeneracy — on a power-law web graph this is the difference
+between O(sum d^2) on mega-hubs and a tractable join (the standard
+relational triangle-count trick; hubs get *low* orientation priority so
+almost no wedges pivot on them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from giraph_spark.graph import clean_symmetric, vertices_from_edges
+
+
+def _oriented(edges: DataFrame, symmetrize_input: bool) -> DataFrame:
+    """Orient the symmetric graph: keep (a, b) with a before b in the
+    (degree, id) total order — each undirected edge appears exactly once,
+    pointing from lower-degree to higher-degree endpoint."""
+    e = clean_symmetric(edges) if symmetrize_input else edges.select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    with_deg = (
+        e.join(deg.withColumnRenamed("src", "s"), F.col("src") == F.col("s"))
+        .drop("s")
+        .withColumnRenamed("deg", "sdeg")
+        .join(deg.select(F.col("src").alias("d"), F.col("deg").alias("ddeg")), F.col("dst") == F.col("d"))
+        .drop("d")
+    )
+    keep = (F.col("sdeg") < F.col("ddeg")) | (
+        (F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst"))
+    )
+    return with_deg.where(keep).select("src", "dst")
+
+
+def triangle_list(edges: DataFrame, symmetrize_input: bool = True) -> DataFrame:
+    """All triangles (a, b, c), each exactly once.
+
+    wedge join: oriented e1(a,b) x e1(a,c) with b<c in orientation order
+    is closed by oriented edge (b,c).
+    """
+    o = _oriented(edges, symmetrize_input)
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
+    # also wedges where the two out-neighbors are oriented b->c directly:
+    closing = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    closing_rev = o.select(F.col("dst").alias("b"), F.col("src").alias("c"))
+    close_any = closing.union(closing_rev).where(F.col("b") < F.col("c"))
+    return wedges.join(close_any, ["b", "c"], "left_semi").select("a", "b", "c")
+
+
+def triangles_per_vertex(edges: DataFrame, symmetrize_input: bool = True) -> DataFrame:
+    """(id, triangles): number of triangles through each vertex — matches
+    the reference's per-vertex counts (TestUndirectedTriangleCounting.java:35-80)
+    including zero rows for triangle-free vertices."""
+    tris = triangle_list(edges, symmetrize_input)
+    corners = (
+        tris.select(F.col("a").alias("id"))
+        .union(tris.select(F.col("b").alias("id")))
+        .union(tris.select(F.col("c").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+    e = clean_symmetric(edges) if symmetrize_input else edges.select("src", "dst")
+    return (
+        vertices_from_edges(e)
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def triangle_count(edges: DataFrame, symmetrize_input: bool = True) -> int:
+    """Global triangle count (= sum of per-vertex counts / 3)."""
+    return triangle_list(edges, symmetrize_input).count()

@@ -1,0 +1,110 @@
+"""Graph-preparation operators — edge-table ETL.
+
+Re-expresses the reference's graph-prep pieces
+(``giraph-block-app-8/src/main/java/org/apache/giraph/block_app/library/
+prepare_graph/PrepareGraphPieces.java``) as declarative DataFrame
+transformations; each op cites the piece it mirrors. All ops are pure
+(no driver-side collection) and Catalyst-optimizable, so they inherit
+predicate pushdown / partial aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def drop_self_loops(edges: DataFrame) -> DataFrame:
+    """Part of cleanSymmetricUnweightedGraph (PrepareGraphPieces.java:87-104)."""
+    return edges.where(F.col("src") != F.col("dst"))
+
+
+def dedup_edges(edges: DataFrame) -> DataFrame:
+    """removeDuplicateEdges (PrepareGraphPieces.java:139)."""
+    return edges.dropDuplicates(["src", "dst"])
+
+
+def reverse_edges(edges: DataFrame) -> DataFrame:
+    """Reverse every edge, keeping any extra columns (io/ReverseEdgeDuplicator.java)."""
+    others = [c for c in edges.columns if c not in ("src", "dst")]
+    return edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), *[F.col(c) for c in others]
+    )
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """makeSymmetricUnweighted (PrepareGraphPieces.java:166): union with the
+    reversed edge set and dedup — the relational form of 'receiver adds the
+    reverse edge if missing'."""
+    base = edges.select("src", "dst")
+    return dedup_edges(base.union(reverse_edges(base)))
+
+
+def symmetrize_weighted(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
+    """makeSymmetricWeighted (PrepareGraphPieces.java:202-277): symmetric
+    closure keeping the max weight per (src, dst) pair."""
+    base = edges.select("src", "dst", weight_col)
+    both = base.union(reverse_edges(base))
+    return both.groupBy("src", "dst").agg(F.max(weight_col).alias(weight_col))
+
+
+def remove_asym_edges(edges: DataFrame) -> DataFrame:
+    """removeAsymEdges (PrepareGraphPieces.java:107): keep only edges whose
+    reverse is also present — a self semi-join on the flipped key."""
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.join(rev, ["src", "dst"], "left_semi")
+
+
+def clean_symmetric(edges: DataFrame) -> DataFrame:
+    """cleanSymmetricUnweightedGraph (PrepareGraphPieces.java:87-104):
+    drop self-loops + dedup + symmetrize."""
+    return symmetrize(drop_self_loops(edges))
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """Out-degree per src (Vertex.getNumEdges, graph/Vertex.java:92) —
+    map-side-combined groupBy count."""
+    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_degree"))
+
+
+def vertices_from_edges(edges: DataFrame) -> DataFrame:
+    """All vertex ids touched by any edge — includes message-target-only
+    ids, mirroring vertex-creation-on-message
+    (graph/DefaultVertexResolver.java:126-130) resolved once at init, the
+    way PageRankInitializeAndNormalizeEdgesPiece.java:81 materializes
+    message-target-only vertices."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def remove_standalone_vertices(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """removeStandAloneVertices (PrepareGraphPieces.java:279): keep vertices
+    referenced by at least one edge endpoint."""
+    return vertices.join(vertices_from_edges(edges), "id", "left_semi")
+
+
+def normalize_edge_weights(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
+    """normalizeDoubleEdges (PrepareGraphPieces.java:285,328): scale each
+    vertex's out-weights to sum 1 — a window aggregate, no shuffle beyond
+    the partition-by-src exchange."""
+    w = Window.partitionBy("src")
+    total = F.sum(F.col(weight_col)).over(w)
+    return edges.withColumn(
+        weight_col,
+        F.when(total != F.lit(0.0), F.col(weight_col) / total).otherwise(F.lit(0.0)),
+    )
+
+
+def is_symmetric(edges: DataFrame) -> bool:
+    """Exact symmetry check (reference does a probabilistic hash check,
+    PrepareGraphPieces.java:412-428; `except` is exact and still
+    distributed)."""
+    base = edges.select("src", "dst")
+    return base.exceptAll(reverse_edges(base).select("src", "dst")).isEmpty()

@@ -1,0 +1,179 @@
+"""The BSP superstep engine — Pregel on DataFrames.
+
+Maps the reference's execution model onto Spark:
+
+- superstep            = one driver-loop iteration issuing
+                         ``scatter join -> groupBy(dst).agg -> update join``
+                         (ComputeCallable.call(), graph/ComputeCallable.java:149-265)
+- message transport    = the shuffle of the gather ``groupBy``
+                         (replaces Netty, comm/SendMessageCache.java:51,240)
+- message combiner     = map-side partial aggregation in ``groupBy().agg()``
+                         (combiner/MessageCombiner.java:32-57)
+- superstep barrier    = Spark stage boundary
+                         (worker/BspServiceWorker.finishSuperstep():746-837)
+- aggregators/master   = one driver-side action per superstep + Python
+                         closure into the next plan
+                         (master/MasterCompute.java:41-147)
+- halt condition       = driver ``while``: all-halted-and-no-messages /
+                         converged / max supersteps
+                         (master/BspServiceMaster.java:1654-1679)
+- checkpoint/restart   = CheckpointManager snapshots (BspServiceWorker
+                         .storeCheckpoint():1249); the snapshot is also the
+                         lineage cut that bounds Catalyst plan growth
+- hub-skew salting     = two-level gather aggregation (our analog of
+                         partition balancing, partition/PartitionBalancer.java,
+                         required because a web graph's ``groupBy(dst)``
+                         fan-in is power-law)
+
+At 100 TB the same loop holds: ``edges`` is a bucketed-by-src table read
+once per superstep with only the (much smaller) vertex state reshuffled;
+AQE handles residual join skew; the salted gather bounds per-reducer
+fan-in on mega-hubs.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giraph_spark.checkpoint import CheckpointManager
+
+# aggregate functions usable at BOTH levels of a salted two-level gather —
+# exactly the MessageCombiner contract: commutative + associative
+# (combiner/MessageCombiner.java:32-57)
+_ASSOCIATIVE = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "bit_xor": lambda c: F.expr(f"bit_xor({c})"),
+}
+
+
+def gather_messages(
+    messages: DataFrame,
+    aggs: list[tuple[str, str]],
+    key: str = "dst",
+    salt: int | None = None,
+) -> DataFrame:
+    """Combine messages per target vertex: ``groupBy(dst).agg(...)``.
+
+    ``aggs`` is ``[(column, fn)]`` with fn in {sum,min,max,bit_xor} — the
+    associative/commutative combiner set. With ``salt=S`` the reduction is
+    two-level — ``groupBy(dst, hash(src-side row) % S)`` then
+    ``groupBy(dst)`` — bounding any single reducer's fan-in on power-law
+    hubs (north-rule skew requirement; Giraph analog: partition balancing
+    + sharded aggregators, comm/aggregators/AggregatorUtils.java:29-41).
+    Catalyst already performs map-side partial aggregation; explicit
+    salting additionally splits the *reduce side* of a hot key.
+    """
+    for col, fn in aggs:
+        if fn not in _ASSOCIATIVE:
+            raise ValueError(f"gather fn must be associative, got {fn!r} for {col!r}")
+    if not salt or salt <= 1:
+        return messages.groupBy(key).agg(
+            *[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs]
+        )
+    salted = messages.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+    )
+    level1 = salted.groupBy(key, "_salt").agg(
+        *[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs]
+    )
+    return level1.groupBy(key).agg(*[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs])
+
+
+@dataclass
+class PregelRun:
+    """Outcome of a superstep loop."""
+
+    vertices: DataFrame
+    supersteps: int
+    converged: bool
+    history: list[dict[str, Any]] = field(default_factory=list)
+
+    @property
+    def last_stats(self) -> dict[str, Any]:
+        return self.history[-1] if self.history else {}
+
+
+def run_supersteps(
+    spark: SparkSession,
+    vertices: DataFrame,
+    step: Callable[[DataFrame, int], tuple[DataFrame, dict[str, Any]]],
+    max_supersteps: int,
+    halt: Callable[[dict[str, Any], int], bool] | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+    lineage_cut_interval: int = 4,
+    verbose: bool = False,
+) -> PregelRun:
+    """Drive the BSP loop.
+
+    ``step(vertices, superstep)`` returns ``(new_vertices, stats)`` and must
+    have issued exactly the actions it needs (typically ONE ``agg`` that
+    both materializes the new state and computes convergence metrics —
+    the per-superstep aggregator gather of MasterCompute.java:41-47).
+    ``halt(stats, superstep)`` True ends the loop — the master halt
+    decision of BspServiceMaster.java:1654-1679. Snapshots + per-partition
+    lineage metrics are written every ``checkpoint_interval`` supersteps;
+    with ``resume=True`` the loop continues from the newest valid snapshot.
+    """
+    ckpt = (
+        CheckpointManager(spark, checkpoint_dir, checkpoint_interval)
+        if checkpoint_dir
+        else None
+    )
+    superstep = 0
+    if resume and ckpt is not None:
+        found = ckpt.latest()
+        if found is not None:
+            superstep, vertices, _m = found
+            if verbose:
+                print(f"[pregel] resuming from checkpoint superstep={superstep}")
+
+    current = vertices.persist()
+    history: list[dict[str, Any]] = []
+    converged = False
+    while superstep < max_supersteps:
+        t0 = time.time()
+        new_vertices, stats = step(current, superstep)
+        new_vertices = new_vertices.persist()
+        if not stats:  # ensure materialization even if step ran no action
+            stats = {"rows": new_vertices.count()}
+        stats = dict(stats)
+        stats["superstep"] = superstep
+        stats["seconds"] = time.time() - t0
+        history.append(stats)
+        if verbose:
+            print(f"[pregel] superstep={superstep} {stats}")
+
+        superstep += 1
+        current.unpersist()
+        current = new_vertices
+
+        if ckpt is not None and ckpt.should_save(superstep):
+            reloaded = ckpt.save(current, superstep, stats)
+            current.unpersist()
+            current = reloaded.persist()
+        elif lineage_cut_interval and superstep % lineage_cut_interval == 0:
+            # bound Catalyst analysis time across iterations (risk register:
+            # iterative-plan blowup; Giraph analog: checkpoint frequency)
+            cut = current.localCheckpoint(eager=True)
+            current.unpersist()
+            current = cut
+
+        if halt is not None and halt(stats, superstep):
+            converged = True
+            break
+
+    if ckpt is not None and history:
+        ckpt.save(current, superstep, history[-1])
+    return PregelRun(
+        vertices=current, supersteps=superstep, converged=converged, history=history
+    )
