@@ -140,6 +140,7 @@ def run_supersteps(
     current = vertices.persist()
     history: list[dict[str, Any]] = []
     converged = False
+    last_saved = superstep if (resume and ckpt is not None) else None
     while superstep < max_supersteps:
         t0 = time.time()
         new_vertices, stats = step(current, superstep)
@@ -159,6 +160,7 @@ def run_supersteps(
 
         if ckpt is not None and ckpt.should_save(superstep):
             reloaded = ckpt.save(current, superstep, stats)
+            last_saved = superstep
             current.unpersist()
             current = reloaded.persist()
         elif lineage_cut_interval and superstep % lineage_cut_interval == 0:
@@ -172,7 +174,9 @@ def run_supersteps(
             converged = True
             break
 
-    if ckpt is not None and history:
+    # final snapshot — but never overwrite the directory the current state
+    # was just reloaded from (write-into-source)
+    if ckpt is not None and history and last_saved != superstep:
         ckpt.save(current, superstep, history[-1])
     return PregelRun(
         vertices=current, supersteps=superstep, converged=converged, history=history

@@ -1,0 +1,108 @@
+"""Engine-semantics tests (FIXTURES.md §3): checkpoint-resume equivalence,
+partitioning invariance, checkpoint validity, gather contract."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.algorithms import connected_components, pagerank
+from giraph_spark.checkpoint import CheckpointManager
+from giraph_spark.pregel import gather_messages
+
+
+def _random_digraph(seed: int, n: int, m: int):
+    rng = np.random.RandomState(seed)
+    return sorted(
+        {
+            (int(s), int(t))
+            for s, t in zip(rng.randint(0, n, m), rng.randint(0, n, m))
+            if s != t
+        }
+    )
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_checkpoint_resume_equivalence(spark, tmp_path):
+    """TestCheckpointing.java:99-147 semantics: run to completion; rerun
+    'killed' at superstep k and resumed; final state identical."""
+    edges = _edges_df(spark, _random_digraph(41, 150, 260))
+    full = connected_components(spark, edges, max_supersteps=50)
+    want = {r["id"]: r["component"] for r in full.vertices.collect()}
+
+    ck = str(tmp_path / "ck")
+    # 'crash' after 3 supersteps (checkpoints at 2 and on exit at 3)
+    partial = connected_components(
+        spark, edges, max_supersteps=3, checkpoint_dir=ck, checkpoint_interval=2
+    )
+    assert not partial.converged
+    resumed = connected_components(
+        spark,
+        edges,
+        max_supersteps=50,
+        checkpoint_dir=ck,
+        checkpoint_interval=2,
+        resume=True,
+    )
+    got = {r["id"]: r["component"] for r in resumed.vertices.collect()}
+    assert got == want
+    # resume actually skipped the completed supersteps
+    assert resumed.supersteps <= full.supersteps + 3
+    assert len(resumed.history) < len(full.history)
+
+
+def test_checkpoint_metrics_record_per_partition_lineage(spark, tmp_path):
+    ck = str(tmp_path / "ck2")
+    edges = _edges_df(spark, _random_digraph(5, 60, 120))
+    pagerank(spark, edges, max_supersteps=4, checkpoint_dir=ck, checkpoint_interval=2)
+    snaps = sorted(os.listdir(ck))
+    assert snaps  # at least superstep=2 and final
+    import json
+
+    with open(os.path.join(ck, snaps[0], "metrics.json")) as f:
+        m = json.load(f)
+    assert m["rows"] > 0
+    assert m["partitions"] and all("rows" in p for p in m["partitions"])
+    assert "l1" in m["stats"]
+
+
+def test_checkpoint_latest_skips_invalid(spark, tmp_path):
+    ck = str(tmp_path / "ck3")
+    edges = _edges_df(spark, _random_digraph(9, 40, 80))
+    pagerank(spark, edges, max_supersteps=4, checkpoint_dir=ck, checkpoint_interval=2)
+    mgr = CheckpointManager(spark, ck)
+    newest = sorted(os.listdir(ck))[-1]
+    # corrupt the newest snapshot: drop parquet _SUCCESS
+    os.remove(os.path.join(ck, newest, "data.parquet", "_SUCCESS"))
+    found = mgr.latest()
+    assert found is not None
+    assert found[0] < int(newest.split("=")[1])
+    shutil.rmtree(os.path.join(ck, newest))
+
+
+def test_partitioning_invariance(spark):
+    """Combiner invariance (FIXTURES.md §3): identical results across
+    shuffle-partition counts — allclose 1e-12 pairwise."""
+    edges = _edges_df(spark, _random_digraph(29, 80, 400))
+    runs = {
+        p: pagerank(spark, edges, max_supersteps=12, num_partitions=p).vertices
+        for p in (2, 8, 32)
+    }
+    base = runs[2].withColumnRenamed("rank", "r0")
+    for p in (8, 32):
+        j = base.join(runs[p].withColumnRenamed("rank", "r1"), "id")
+        bad = j.where(F.abs(F.col("r0") - F.col("r1")) > 1e-12).count()
+        assert bad == 0, f"partitions={p} diverged"
+
+
+def test_gather_rejects_non_associative(spark):
+    df = spark.createDataFrame([(1, 2.0)], "dst long, msg double")
+    with pytest.raises(ValueError):
+        gather_messages(df, [("msg", "avg")])
