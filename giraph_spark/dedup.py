@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Web-corpus dedup at 100 TB is a join problem, not a pairwise-compare
+problem; every operator here is expressed as keyed joins/aggregations:
+
+- exact:   one groupBy on a content hash (md5) — shuffle on the hash key.
+- Jaccard: inverted-index self-join (token -> docs), so cost is
+  sum over tokens of df(token)^2, not |docs|^2; ``max_df`` drops
+  ubiquitous tokens to bound the join skew (standard posting-list cap).
+- MinHash+LSH: per-band min of md5(band:shingle) — the signature is a
+  lexicographic min over hex digests, which every SQL engine computes
+  identically (no engine-specific hash needed); candidates share a
+  (band, signature) bucket, then are verified with true Jaccard.
+- SimHash: 60-bit signature from per-token md5 bits, bit-majority
+  aggregated; near-dup pairs found by banding the signature.
+
+The reference has no dedup (its only "dedup" is edge-level,
+``prepare_graph/PrepareGraphPieces.java:139``); these are pipeline-side
+first-class ops per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from giraph_spark.text import shingles, tokenize
+
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed 64-bit long
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical texts: (content_hash, keep_id, n_copies).
+
+    ``keep_id`` = min doc_id per group — the canonical survivor.
+    """
+    return docs.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-gram Jaccard similarity.
+
+    (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold,
+    via an inverted-index join on shared shingles. ``max_df`` (scale
+    path) drops shingles occurring in more than max_df documents —
+    ubiquitous shingles contribute quadratic join fan-out but little
+    similarity signal.
+    """
+    if n == 1:
+        sh = tokenize(docs).select("doc_id", F.col("token").alias("shingle")).distinct()
+    else:
+        sh = shingles(docs, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(df_counts.where(F.col("_df") <= max_df), "shingle").select(
+            "doc_id", "shingle"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(docs: DataFrame, bands: int = 8, n: int = 3) -> DataFrame:
+    """(doc_id, band, signature): per-band MinHash over word n-grams.
+
+    signature = min over the doc's shingles of md5('<band>:' || shingle);
+    md5 hex is uniform, so the lexicographic min is a valid min-hash and
+    is engine-portable (pure string comparison on lowercase hex).
+    """
+    sh = shingles(docs, n)
+    band_df = (
+        sh.crossJoin(
+            F.broadcast(
+                sh.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
+            )
+        )
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat_ws(":", F.col("band"), F.col("shingle"))).alias("h"),
+        )
+    )
+    return band_df.groupBy("doc_id", "band").agg(F.min("h").alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.4, bands: int = 8, n: int = 3
+) -> DataFrame:
+    """MinHash-LSH near-dup detection: candidates share at least one
+    (band, signature) bucket; survivors verified with true n-gram
+    Jaccard >= threshold. Returns (doc_a, doc_b, jaccard).
+
+    At scale the bucket join touches only colliding docs — the classic
+    shingle -> minhash -> band -> bucket-join pipeline.
+    """
+    sig = minhash_signatures(docs, bands=bands, n=n)
+    a = sig.select(F.col("doc_id").alias("doc_a"), "band", "signature")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "band", "signature")
+    cand = (
+        a.join(b, ["band", "signature"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("sza") + F.col("szb") - F.coalesce(F.col("inter"), F.lit(0))),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit SimHash over the distinct-token set.
+
+    Each token hashes to 60 bits (md5 hex -> long); per bit position the
+    +1/-1 votes are summed and the signature bit is the majority sign.
+    Expressed as 60 conditional sums in one aggregation — wide but fully
+    codegen'd, one shuffle on doc_id.
+    """
+    t = tokenize(docs).select("doc_id", "token").distinct()
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+    t = t.select("doc_id", h.alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = t.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 8, chunks: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash banding: candidates agree on >=1 of
+    ``chunks`` signature chunks, verified by bit_count(xor) <= max_hamming.
+
+    Returns (doc_a, doc_b, hamming).
+    """
+    sig = simhash_signatures(docs)
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    chunked = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a = chunked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "val"
+    )
+    b = chunked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "val"
+    )
+    cand = (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,176 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k as the correctness baseline, and an IVF-style
+(inverted-file) variant as the scale path: assign vectors to their
+nearest centroid once, then restrict candidate generation to same-cell
+vectors. Dot products run through ``F.zip_with`` + ``F.aggregate`` —
+JVM-side higher-order functions, no Python UDFs, so a 100 TB scan stays
+in whole-stage codegen and the only shuffle is the top-k aggregation.
+
+The reference has no vector search; these are pipeline-side first-class
+ops per the build brief (SURVEY.md §2.7 audit: engine's extension
+surface is UDFs; ours is Spark SQL higher-order functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """Add cosine(a, b) for two array<float> columns."""
+    ca, cb = F.col(a), F.col(b)
+    return df.withColumn(out, _dot(ca, cb) / (_norm(ca) * _norm(cb)))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest
+    non-identical vectors. Returns (query_id, rank, neighbor_id, cosine).
+
+    The query side is broadcast (small dim table); ranking is a window
+    top-k = Spark's TakeOrdered per key. Deterministic tie-break on
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec"))
+    scored = (
+        v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qvec"), F.col("_vvec"))
+                / (_norm(F.col("_qvec")) * _norm(F.col("_vvec"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (IVF cell).
+
+    Returns (vec_id, centroid_id, cosine). Centroids are broadcast; the
+    argmax is a per-vector window rank — at scale this is one broadcast
+    nested-loop over C centroids per row, no shuffle until the output.
+    """
+    c = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"), F.col(vec_col).alias("_cvec")
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col).alias("_vvec"))
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_vvec"), F.col("_cvec"))
+            / (_norm(F.col("_vvec")) * _norm(F.col("_cvec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "centroid_id", "cosine")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only vectors whose cell is among the
+    query's ``n_probe`` nearest centroids. Same output shape as
+    ``cosine_topk`` — the scale path (candidate set shrinks by ~C/n_probe).
+    """
+    assign = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("_cell")
+    )
+    c = centroids.select(
+        F.col("centroid_id").alias("_cell"), F.col(vec_col).alias("_cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    qcells = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn(
+            "_qc",
+            _dot(F.col("_qvec"), F.col("_cvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_cvec"))),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_qc").desc(), F.col("_cell").asc()
+                )
+            ),
+        )
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "_qvec", "_cell")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vvec"))
+    cand = qcells.join(assign, "_cell").join(v, "neighbor_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("_qvec"), F.col("_vvec"))
+            / (_norm(F.col("_qvec")) * _norm(F.col("_vvec"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` twin on the
+same sf dir (default sf0.01) and compares row counts + column-sorted
+value multisets. Usage::
+
+    python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        # driver hashes values; emulate strict-but-reasonable float identity
+        return round(v, 9)
+    return v
+
+
+def to_multiset(df: pd.DataFrame):
+    cols = sorted(df.columns)
+    rows = [tuple(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    return cols, sorted(rows, key=repr)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from giraph_spark.session import get_spark
+
+    spark = get_spark(app_name="check-entry", cores=8, shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL-SPARK] {name}: {exc}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"[NO-ORACLE] {name}: rows={len(sdf)} spark={t_spark:.1f}s")
+            continue
+        t0 = time.time()
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"[FAIL-SQL]  {name}: {exc}")
+            failures.append(name)
+            continue
+        t_sql = time.time() - t0
+        scols, srows = to_multiset(sdf)
+        ocols, orows = to_multiset(odf)
+        if scols != ocols:
+            print(f"[FAIL-COLS] {name}: spark={scols} oracle={ocols}")
+            failures.append(name)
+            continue
+        if len(srows) != len(orows):
+            print(f"[FAIL-ROWS] {name}: spark={len(srows)} oracle={len(orows)}")
+            failures.append(name)
+            continue
+        bad = sum(1 for a, b in zip(srows, orows) if a != b)
+        if bad:
+            print(f"[FAIL-VALS] {name}: {bad}/{len(srows)} rows differ")
+            for a, b in zip(srows, orows):
+                if a != b:
+                    print(f"   spark={a}\n   duck ={b}")
+                    break
+            failures.append(name)
+        else:
+            print(
+                f"[OK]        {name}: rows={len(srows)} "
+                f"spark={t_spark:.1f}s duckdb={t_sql:.1f}s"
+            )
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
