@@ -43,7 +43,7 @@ def pagerank(
     damping: float = 0.85,
     max_supersteps: int = 10,
     tolerance: float | None = None,
-    convergence: str = "l1",  # l1 | linf | rmse (PageRankConvergenceType.java)
+    convergence: str = "l1",  # l1 | l1_mean | linf | rmse (PageRankConvergenceType.java)
     weighted: bool = False,
     salt: int | None = None,
     checkpoint_dir: str | None = None,
@@ -58,7 +58,7 @@ def pagerank(
     (RepeatBlock semantics); otherwise halt when the chosen convergence
     metric drops below tolerance (RepeatUntilBlock semantics).
     """
-    if convergence not in ("l1", "linf", "rmse"):
+    if convergence not in ("l1", "l1_mean", "linf", "rmse"):
         raise ValueError(f"unknown convergence type {convergence!r}")
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -149,6 +149,7 @@ def pagerank(
             "all_sum": box["all_sum"],
             "sink_sum": box["sink_sum"],
             "l1": float(row["l1"]),
+            "l1_mean": float(row["l1"]) / n_vertices,
             "linf": float(row["linf"]),
             "rmse": float(row["rmse"]),
         }

@@ -1,0 +1,122 @@
+"""Personalized PageRank / random walk with restart.
+
+Reference semantics (``giraph-examples/.../RandomWalkWithRestartComputation.java``
+on the random-walk base ``RandomWalkComputation.java:113-155``): per
+superstep ``value = (1 - t) * (sum(msgs) + danglingMass * pref) + t * pref``
+where the teleport vector ``pref`` is uniform over the source set instead
+of over all vertices; dangling mass restarts at the sources too. Total
+probability mass is conserved at 1.
+
+Same superstep shape as ``pagerank.py`` (scatter join → sum gather →
+update join + one driver aggregate); only the teleport target differs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from giraph_spark.graph import out_degrees, vertices_from_edges
+from giraph_spark.pregel import PregelRun, gather_messages, run_supersteps
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: int | list[int],
+    teleport: float = 0.15,
+    max_supersteps: int = 30,
+    tolerance: float | None = 1e-6,
+    salt: int | None = None,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Result ``vertices``: (id, rank) — a probability vector (sums to 1)
+    biased toward the source set."""
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    srcs = [sources] if isinstance(sources, int) else list(sources)
+    if not srcs:
+        raise ValueError("personalized_pagerank needs at least one source")
+    t = float(teleport)
+
+    deg = out_degrees(edges)
+    e = (
+        edges.select("src", "dst")
+        .join(deg, "src")
+        .withColumn("weight", F.lit(1.0) / F.col("out_degree").cast("double"))
+        .drop("out_degree")
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = vertices_from_edges(edges)
+    sinks = verts.join(
+        edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    )
+    is_source = F.col("id").isin(srcs)
+    pref = 1.0 / len(srcs)
+    state = (
+        verts.join(sinks.withColumn("is_sink", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.when(is_source, F.lit(pref)).otherwise(F.lit(0.0)).alias("rank"),
+            F.coalesce("is_sink", F.lit(False)).alias("is_sink"),
+            is_source.alias("is_source"),
+        )
+        .repartition(num_partitions, "id")
+    )
+
+    box: dict[str, float] = {"sink_sum": None}  # type: ignore[assignment]
+
+    def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
+        if box["sink_sum"] is None:
+            r = vertices.agg(
+                F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(F.lit(0.0))).alias("s")
+            ).collect()[0]
+            box["sink_sum"] = float(r["s"] or 0.0)
+        sink_sum = box["sink_sum"]
+
+        msgs = e.join(
+            vertices.select(F.col("id").alias("src"), "rank"), "src"
+        ).select("dst", (F.col("rank") * F.col("weight")).alias("msg"))
+        gathered = gather_messages(msgs, [("msg", "sum")], key="dst", salt=salt)
+        restart = F.when(
+            F.col("is_source"), F.lit((t + (1.0 - t) * sink_sum) * pref)
+        ).otherwise(F.lit(0.0))
+        new_rank = (
+            F.lit(1.0 - t) * F.coalesce(F.col("msg"), F.lit(0.0)) + restart
+        )
+        new_state = (
+            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                new_rank.alias("rank"),
+                "is_sink",
+                "is_source",
+                (new_rank - F.col("rank")).alias("_delta"),
+            )
+            .persist()
+        )
+        row = new_state.agg(
+            F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(F.lit(0.0))).alias("s"),
+            F.sum(F.abs(F.col("_delta"))).alias("l1"),
+        ).collect()[0]
+        box["sink_sum"] = float(row["s"] or 0.0)
+        return new_state, {"l1": float(row["l1"]), "sink_sum": box["sink_sum"]}
+
+    halt = None
+    if tolerance is not None:
+        halt = lambda stats, i: stats["l1"] < tolerance  # noqa: E731
+
+    run = run_supersteps(
+        spark, state, step, max_supersteps=max_supersteps, halt=halt, verbose=verbose
+    )
+    e.unpersist()
+    return PregelRun(
+        vertices=run.vertices.select("id", "rank"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )

@@ -106,3 +106,101 @@ def sssp_oracle(
         if not changed:
             break
     return dist
+
+
+def scc_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Tarjan-free SCC oracle: Kosaraju on small graphs; component label =
+    max vertex id in the component (matches scc.py's root labeling)."""
+    ids = sorted({v for e in edges for v in e})
+    fwd: dict[int, list[int]] = {v: [] for v in ids}
+    rev: dict[int, list[int]] = {v: [] for v in ids}
+    for a, b in edges:
+        fwd[a].append(b)
+        rev[b].append(a)
+
+    visited: set[int] = set()
+    order: list[int] = []
+
+    def dfs1(start: int) -> None:
+        stack = [(start, iter(fwd[start]))]
+        visited.add(start)
+        while stack:
+            v, it = stack[-1]
+            for u in it:
+                if u not in visited:
+                    visited.add(u)
+                    stack.append((u, iter(fwd[u])))
+                    break
+            else:
+                order.append(v)
+                stack.pop()
+
+    for v in ids:
+        if v not in visited:
+            dfs1(v)
+
+    comp: dict[int, int] = {}
+    for v in reversed(order):
+        if v in comp:
+            continue
+        members = []
+        stack = [v]
+        seen = {v}
+        while stack:
+            x = stack.pop()
+            if x in comp:
+                continue
+            members.append(x)
+            for u in rev[x]:
+                if u not in comp and u not in seen:
+                    seen.add(u)
+                    stack.append(u)
+        label = max(members)
+        for m in members:
+            comp[m] = label
+    return comp
+
+
+def is_independent_set(edges: list[tuple[int, int]], chosen: set[int]) -> bool:
+    return not any(
+        (a in chosen and b in chosen) and a != b for a, b in edges
+    )
+
+
+def is_maximal_independent_set(
+    edges: list[tuple[int, int]], chosen: set[int]
+) -> bool:
+    if not is_independent_set(edges, chosen):
+        return False
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v in adj:
+        if v not in chosen and not (adj[v] & chosen):
+            return False
+    return True
+
+
+def ppr_oracle(
+    edges: list[tuple[int, int]], sources: list[int], teleport: float, iters: int
+) -> dict[int, float]:
+    """Personalized PageRank with restart-at-sources for dangling mass."""
+    ids = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    pref = np.zeros(n)
+    for s in sources:
+        pref[idx[s]] = 1.0 / len(sources)
+    r = pref.copy()
+    t = teleport
+    for _ in range(iters):
+        sink_sum = r[out == 0].sum()
+        msgs = np.zeros(n)
+        for s, tgt in edges:
+            msgs[idx[tgt]] += r[idx[s]] / out[idx[s]]
+        r = (1 - t) * msgs + (t + (1 - t) * sink_sum) * pref
+    return {v: r[idx[v]] for v in ids}

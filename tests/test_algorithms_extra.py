@@ -1,0 +1,188 @@
+"""SCC, MIS, personalized PageRank, blocks framework, reducers library."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.algorithms.mis import maximal_independent_set
+from giraph_spark.algorithms.ppr import personalized_pagerank
+from giraph_spark.algorithms.scc import strongly_connected_components
+from giraph_spark.blocks import (
+    for_all_vertices,
+    reduce_and_broadcast,
+    remove_vertices,
+    repeat,
+    repeat_until,
+    run_block,
+    sequence,
+)
+from giraph_spark.reducers import arg_max, keyed_reduce, reducer, top_n
+from tests.oracles import (
+    is_maximal_independent_set,
+    ppr_oracle,
+    scc_oracle,
+)
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+# --- SCC -------------------------------------------------------------------
+
+SCC_TOY = [
+    # cycle {1,2,3}, cycle {4,5}, chain 3->4, isolated-ish 6->1
+    (1, 2), (2, 3), (3, 1),
+    (4, 5), (5, 4),
+    (3, 4), (6, 1),
+]
+
+
+def test_scc_toy(spark):
+    got = {
+        r.id: r.scc
+        for r in strongly_connected_components(spark, _edges_df(spark, SCC_TOY)).collect()
+    }
+    assert got == scc_oracle(SCC_TOY)
+
+
+def test_scc_random(spark):
+    rng = random.Random(11)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    got = {
+        r.id: r.scc
+        for r in strongly_connected_components(spark, _edges_df(spark, edges)).collect()
+    }
+    assert got == scc_oracle(edges)
+
+
+# --- MIS -------------------------------------------------------------------
+
+
+def test_mis_is_maximal_independent(spark):
+    rng = random.Random(5)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    rows = maximal_independent_set(spark, _edges_df(spark, edges)).collect()
+    chosen = {r.id for r in rows if r.in_set}
+    sym = edges + [(b, a) for a, b in edges]
+    assert is_maximal_independent_set(sym, chosen)
+    # determinism across runs
+    rows2 = maximal_independent_set(spark, _edges_df(spark, edges)).collect()
+    assert {r.id for r in rows2 if r.in_set} == chosen
+
+
+# --- personalized PageRank -------------------------------------------------
+
+PPR_TOY = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
+
+
+def test_ppr_matches_oracle(spark):
+    run = personalized_pagerank(
+        spark, _edges_df(spark, PPR_TOY), sources=[1], teleport=0.2,
+        max_supersteps=60, tolerance=1e-10,
+    )
+    got = {r.id: r.rank for r in run.vertices.collect()}
+    want = ppr_oracle(PPR_TOY, [1], 0.2, iters=200)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_ppr_mass_biased_to_source_neighborhood(spark):
+    run = personalized_pagerank(
+        spark, _edges_df(spark, PPR_TOY), sources=[1], teleport=0.3,
+        max_supersteps=40,
+    )
+    got = {r.id: r.rank for r in run.vertices.collect()}
+    assert got[1] > got[5]
+
+
+# --- blocks ----------------------------------------------------------------
+
+
+def test_blocks_sequence_repeat(spark):
+    v0 = spark.createDataFrame([(i, 0) for i in range(4)], "id long, x long")
+    inc = for_all_vertices(lambda df: df.withColumn("x", F.col("x") + 1))
+    run = run_block(spark, v0, sequence(inc, repeat(3, inc)))
+    assert {r.x for r in run.vertices.collect()} == {4}
+
+
+def test_blocks_repeat_until(spark):
+    v0 = spark.createDataFrame([(i, 0) for i in range(4)], "id long, x long")
+
+    def bump_and_count(df, s):
+        out = df.withColumn("x", F.col("x") + 1)
+        return out, {"max_x": out.agg(F.max("x")).collect()[0][0]}
+
+    from giraph_spark.blocks import piece
+
+    run = run_block(
+        spark, v0,
+        repeat_until(100, lambda stats, s: stats["max_x"] >= 5, piece(bump_and_count)),
+    )
+    assert {r.x for r in run.vertices.collect()} == {5}
+
+
+def test_blocks_remove_and_broadcast(spark):
+    v0 = spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, v double")
+    blk = sequence(
+        remove_vertices(F.col("id") >= 4),
+        reduce_and_broadcast(
+            {"total": F.sum("v")},
+            lambda df, vals: df.withColumn("share", F.col("v") / vals["total"]),
+        ),
+    )
+    run = run_block(spark, v0, blk)
+    rows = {r.id: r.share for r in run.vertices.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert abs(sum(rows.values()) - 1.0) < 1e-12
+
+
+# --- reducers --------------------------------------------------------------
+
+
+def test_reducer_library(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, True, "a"), (2, 3.0, False, "b"), (3, 4.0, True, "c")],
+        "k long, v double, b boolean, s string",
+    )
+    row = df.agg(
+        reducer("sum", "v").alias("sum"),
+        reducer("min", "v").alias("min"),
+        reducer("max", "v").alias("max"),
+        reducer("product", "v").alias("product"),
+        reducer("and", "b").alias("band"),
+        reducer("or", "b").alias("bor"),
+        reducer("xor", "k").alias("xor"),
+        reducer("count", "v").alias("count"),
+    ).collect()[0]
+    assert row["sum"] == 9.0 and row["min"] == 2.0 and row["max"] == 4.0
+    assert row["product"] == 24.0
+    assert row["band"] is False and row["bor"] is True
+    assert row["xor"] == (1 ^ 2 ^ 3)
+    assert row["count"] == 3
+
+
+def test_top_n_and_arg_max(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 30.0)], "k long, v double"
+    )
+    assert [r.k for r in top_n(df, "v", 2).collect()] == [2, 4] or [
+        r.k for r in top_n(df, "v", 2).collect()
+    ] == [4, 2]
+    am = arg_max(df, "k", "v").collect()[0]
+    assert am["k"] == 2 and am["v"] == 30.0  # tie -> smaller key
+
+
+def test_keyed_reduce(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (1, 7.0), (2, 1.0)], "k long, v double"
+    )
+    got = {r.k: r.total for r in keyed_reduce(df, "k", "sum", "v", "total").collect()}
+    assert got == {1: 12.0, 2: 1.0}

@@ -1,0 +1,215 @@
+"""Training-data pipeline operators: text analysis, dedup, vector search.
+
+Oracles are plain-Python recomputations on collected rows (exact, small
+inputs) — the same layered strategy as the reference's golden toy tests
+(SURVEY.md §5), applied to the pipeline ops the reference lacks.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from giraph_spark.datasets import demo_edges, with_weight
+from giraph_spark.dedup import (
+    exact_duplicates,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from giraph_spark.embeddings import cosine_topk, ivf_assign, ivf_topk
+from giraph_spark.text import (
+    fingerprints,
+    quality_scores,
+    shingles,
+    token_counts,
+    tokenize,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet").limit(60).persist()
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").limit(80).persist()
+
+
+def _pytokens(text: str) -> list[str]:
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def test_tokenize_matches_python(docs):
+    got = {
+        (r.doc_id, r.pos): r.token
+        for r in tokenize(docs).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        toks = _pytokens(row.text)
+        for i, tok in enumerate(toks, start=1):
+            assert got[(row.doc_id, i)] == tok
+        assert sum(1 for k in got if k[0] == row.doc_id) == len(toks)
+
+
+def test_token_counts_oracle(docs):
+    got = {r.doc_id: r for r in token_counts(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        toks = _pytokens(row.text)
+        g = got[row.doc_id]
+        assert g.n_tokens == len(toks)
+        assert g.n_distinct == len(set(toks))
+        assert g.n_chars == len(row.text)
+
+
+def test_shingles_oracle(docs):
+    got = {}
+    for r in shingles(docs, 3).collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+    for row in docs.select("doc_id", "text").collect():
+        toks = _pytokens(row.text)
+        want = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        assert got.get(row.doc_id, set()) == want
+
+
+def test_fingerprint_is_min_md5_shingle(docs):
+    got = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        toks = _pytokens(row.text)
+        hs = {
+            hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
+            for i in range(len(toks) - 2)
+        }
+        assert got[row.doc_id] == min(hs)
+
+
+def test_quality_scores_bounded(docs):
+    rows = quality_scores(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stop_ratio <= 1.0
+        assert 0.0 < r.distinct_ratio <= 1.0
+
+
+def test_exact_duplicates_finds_planted_dup(spark):
+    data = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other text")]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    out = {r.keep_id: r.n_copies for r in exact_duplicates(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_oracle(spark):
+    data = [
+        (1, "a b c d"),
+        (2, "a b c e"),  # J(1,2) = 3/5
+        (3, "x y z w"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    rows = jaccard_pairs(df, threshold=0.5, n=1).collect()
+    assert {(r.doc_a, r.doc_b): r.jaccard for r in rows} == {(1, 2): 0.6}
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    base = "one two three four five six seven eight nine ten"
+    data = [
+        (1, base),
+        (2, base + " eleven"),  # shares most 3-grams with 1
+        (3, "totally different words appear in this document here now"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    rows = minhash_lsh_pairs(df, threshold=0.3, bands=8, n=3).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_simhash_near_dup_vs_distinct(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    data = [
+        (1, base),
+        (2, base + " extra"),  # hamming distance should be small
+        (3, " ".join(f"zzz{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(df).collect()}
+    d12 = bin(sigs[1] ^ sigs[2]).count("1")
+    d13 = bin(sigs[1] ^ sigs[3]).count("1")
+    assert d12 < d13
+    rows = simhash_pairs(df, max_hamming=d12)
+    assert (1, 2) in {(r.doc_a, r.doc_b) for r in rows.collect()}
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk_matches_python(emb):
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    queries = emb.where(F.col("vec_id") < 2)
+    got = cosine_topk(emb, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid in [0, 1]:
+        scored = sorted(
+            ((round(_cos(vecs[qid], v), 6), -nid) for nid, v in vecs.items() if nid != qid),
+            reverse=True,
+        )
+        want = [(-negnid) for _, negnid in scored[:4]]
+        assert [nid for _, nid in sorted(by_q[qid])] == want
+
+
+def test_ivf_assign_is_argmax(emb):
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    cents = {i: vecs[i] for i in range(6)}
+    got = {r.vec_id: r.centroid_id for r in ivf_assign(
+        emb, emb.where(F.col("vec_id") < 6).select(
+            F.col("vec_id").alias("centroid_id"), "embedding")).collect()}
+    for vid, v in vecs.items():
+        best = max(cents, key=lambda c: (round(_cos(v, cents[c]), 6), -c))
+        assert got[vid] == best
+
+
+def test_ivf_topk_full_probe_equals_brute(emb):
+    cents = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    q = emb.where(F.col("vec_id") < 2)
+    bf = {(r.query_id, r.rank, r.neighbor_id) for r in cosine_topk(emb, q, k=3).collect()}
+    ivf = {
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in ivf_topk(emb, q, cents, k=3, n_probe=5).collect()
+    }
+    assert bf == ivf
+
+
+def test_demo_edges_deterministic_and_clean(spark):
+    e1 = demo_edges(spark, SF)
+    e2 = demo_edges(spark, SF)
+    assert e1.count() == e2.count()
+    assert e1.where(F.col("src") == F.col("dst")).count() == 0
+    assert e1.groupBy("src", "dst").count().where("count > 1").count() == 0
+    ws = {r.weight for r in with_weight(e1).select("weight").distinct().collect()}
+    assert ws <= {1.0, 2.0, 3.0}
+
+
+def test_lang_id_deterministic(spark, docs):
+    from giraph_spark.text import lang_id
+
+    a = sorted((r.doc_id, r.pred_lang) for r in lang_id(docs).collect())
+    b = sorted((r.doc_id, r.pred_lang) for r in lang_id(docs).collect())
+    assert a == b
+    assert all(p in {"de", "en", "es", "fr", "zh", "und"} for _, p in a)
