@@ -244,6 +244,63 @@ def _minlabel_sql(iters: int, edge_table: str, agg: str, out_col: str) -> str:
     )
 
 
+SCC_V = 512  # SCC oracle uses a subgraph: transitive closure is quadratic
+
+_SCC_SQL = f"""WITH RECURSIVE
+edges AS MATERIALIZED (
+  SELECT src, dst FROM ({DEMO_EDGES_SQL}) WHERE src < {SCC_V} AND dst < {SCC_V}
+),
+verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT r1.a AS id, max(r1.b) AS scc
+FROM reach r1
+WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
+GROUP BY r1.a"""
+
+
+def _ppr_sql(iters: int, teleport: float = 0.15) -> str:
+    t = teleport
+    parts = [
+        _GRAPH,
+        "deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src)",
+        "s0v AS MATERIALIZED (SELECT min(id) AS sid FROM verts)",
+        "r0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT sid FROM s0v) "
+        "THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rank FROM verts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""k{k} AS MATERIALIZED (
+  SELECT coalesce(sum(CASE WHEN d.src IS NULL THEN r.rank END), 0.0) AS sink_sum
+  FROM r{k} r LEFT JOIN deg d ON d.src = r.id
+)"""
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(r.rank / d.outdeg) AS msg
+  FROM edges e JOIN r{k} r ON r.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         {1.0 - t} * coalesce(m.msg, 0.0)
+       + CASE WHEN v.id = (SELECT sid FROM s0v)
+              THEN {t} + {1.0 - t} * (SELECT sink_sum FROM k{k}) ELSE 0.0 END AS rank
+  FROM r{k} v LEFT JOIN m{k} m ON m.id = v.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
 def _simhash_sql() -> str:
     votes = ",\n         ".join(
         f"CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{i}"
@@ -618,6 +675,69 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.algorithms.scc import strongly_connected_components
+
+    e = demo_edges(spark, sf_dir).where(
+        (F.col("src") < SCC_V) & (F.col("dst") < SCC_V)
+    )
+    return strongly_connected_components(spark, e)
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.algorithms.ppr import personalized_pagerank
+
+    e = demo_edges(spark, sf_dir)
+    source = e.select(F.least(F.min("src"), F.min("dst")).alias("m")).collect()[0]["m"]
+    run = personalized_pagerank(
+        spark, e, sources=[int(source)], teleport=0.15,
+        max_supersteps=15, tolerance=None, num_partitions=NP,
+    )
+    return run.vertices.select("id", F.round("rank", 9).alias("rank"))
+
+
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.algorithms.wcc import component_sizes
+
+    run = connected_components(spark, demo_edges(spark, sf_dir), num_partitions=NP)
+    return component_sizes(run.vertices).select(
+        "component", F.col("size").cast("long").alias("size")
+    )
+
+
+def q_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.algorithms.wcc import largest_component
+
+    run = connected_components(spark, demo_edges(spark, sf_dir), num_partitions=NP)
+    comp, size = largest_component(run.vertices)
+    return spark.createDataFrame(
+        [(comp, size)], "component long, size long"
+    )
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.algorithms.mis import maximal_independent_set
+
+    # engine-only (no SQL oracle: per-round xxhash64 priorities are not
+    # portable); driver records the weaker rows-only check
+    return maximal_independent_set(spark, demo_edges(spark, sf_dir))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.multimodal import decode_image, image_features
+
+    # engine-only: binary decode plumbing with the deterministic fake codec
+    docs = _docs(spark, sf_dir).limit(100).select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.encode("text", "utf-8").alias("data"),
+    )
+    decoded = decode_image(docs, "key", "data", 16, 16, 3)
+    return image_features(decoded).select(
+        "key", F.round(F.element_at("mean", 1), 6).alias("mean_c0"),
+        F.element_at("histogram", 1).alias("hist_0"),
+    )
+
+
 # --- corpus-native queries (engine path; no SQL oracle — the corpus is
 # generated in Spark, so DuckDB has no equivalent input) ---------------------
 
@@ -699,6 +819,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "sessionize": q_sessionize,
         "event_rollup": q_event_rollup,
+        "scc": q_scc,
+        "ppr": q_ppr,
+        "component_sizes": q_component_sizes,
+        "largest_component": q_largest_component,
+        "mis": q_mis,
+        "media_features": q_media_features,
         "corpus_extract_check": q_corpus_extract_check,
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_wcc": q_corpus_wcc,
@@ -778,4 +904,58 @@ SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "ivf_assign": _IVF_SQL,
         "sessionize": _SESSION_SQL,
         "event_rollup": _ROLLUP_SQL,
+        "scc": _SCC_SQL,
+        "ppr": _ppr_sql(15),
+        "component_sizes": (
+            "WITH "
+            + ",\n".join(
+                [
+                    _GRAPH,
+                    _SYM,
+                    "p0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)",
+                ]
+                + [
+                    f"""p{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(v.lab, coalesce(m.m, v.lab)) AS lab
+  FROM p{k} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.lab) AS m
+    FROM sym e JOIN p{k} l ON l.id = e.src
+    GROUP BY e.dst
+  ) m ON m.id = v.id
+)"""
+                    for k in range(20)
+                ]
+            )
+            + "\nSELECT lab AS component, count(*)::BIGINT AS size FROM p20 GROUP BY lab"
+        ),
+        "largest_component": (
+            "WITH "
+            + ",\n".join(
+                [
+                    _GRAPH,
+                    _SYM,
+                    "p0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)",
+                ]
+                + [
+                    f"""p{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(v.lab, coalesce(m.m, v.lab)) AS lab
+  FROM p{k} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.lab) AS m
+    FROM sym e JOIN p{k} l ON l.id = e.src
+    GROUP BY e.dst
+  ) m ON m.id = v.id
+)"""
+                    for k in range(20)
+                ]
+                + [
+                    "cs AS (SELECT lab AS component, count(*)::BIGINT AS size FROM p20 GROUP BY lab)",
+                ]
+            )
+            + """
+SELECT component, size FROM (
+  SELECT component, size,
+         row_number() OVER (ORDER BY size DESC, component ASC) AS rn
+  FROM cs
+) WHERE rn = 1"""
+        ),
     }

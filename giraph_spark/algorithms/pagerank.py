@@ -50,6 +50,7 @@ def pagerank(
     checkpoint_interval: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
+    lineage_cut_interval: int = 1,
     verbose: bool = False,
 ) -> PregelRun:
     """Run PageRank; result ``vertices`` has columns (id, rank).
@@ -168,6 +169,7 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
         resume=resume,
+        lineage_cut_interval=lineage_cut_interval,
         verbose=verbose,
     )
     e.unpersist()

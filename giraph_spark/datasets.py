@@ -50,6 +50,51 @@ def demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthetic_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    avg_degree: int = 16,
+    n_hubs: int = 10,
+    hub_prob_1_in: int = 8,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Large-scale deterministic edge generator — pure JVM expressions.
+
+    Same statistical shape as the corpus-derived link graph (uniform
+    targets plus a mega-hub share for gather skew) but generated with
+    ``spark.range`` + ``posexplode`` + ``xxhash64`` so a 10^8-edge input
+    materializes in seconds: the scaling-protocol input when the
+    Arrow-path corpus generator would dominate wall time. Mirrors the
+    reference's PseudoRandomEdgeInputFormat
+    (``io/formats/PseudoRandomEdgeInputFormat.java``, knobs
+    ``PseudoRandomInputFormatConstants.java:26-35``).
+    """
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    base = spark.range(0, n_vertices, numPartitions=partitions).select(
+        F.col("id").alias("src")
+    )
+    # per-source degree in [1, 2*avg_degree): deterministic hash
+    deg = (
+        F.pmod(F.xxhash64(F.col("src"), F.lit(seed), F.lit("deg")), F.lit(2 * avg_degree - 1))
+        + 1
+    )
+    exploded = base.select(
+        "src", F.posexplode(F.sequence(F.lit(1), deg)).alias("k", "_")
+    ).drop("_")
+    h = F.xxhash64(F.col("src"), F.col("k"), F.lit(seed))
+    is_hub = F.pmod(h, F.lit(hub_prob_1_in)) == 0
+    dst = F.when(is_hub, F.pmod(F.shiftrightunsigned(h, 8), F.lit(n_hubs))).otherwise(
+        F.pmod(F.shiftrightunsigned(h, 8), F.lit(n_vertices))
+    )
+    return (
+        exploded.select("src", dst.cast("long").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def with_weight(edges: DataFrame) -> DataFrame:
     """Attach the deterministic weight column (matches WEIGHT_SQL)."""
     return edges.withColumn(

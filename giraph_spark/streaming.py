@@ -1,0 +1,119 @@
+"""Structured Streaming surface: incremental edge/page ingestion.
+
+The reference has no streaming subsystem (BSP supersteps are its only
+notion of time — SURVEY.md §2.7); this module adds the Spark-native
+streaming capabilities a continuously-crawled corpus needs:
+
+- ``read_page_stream`` / ``read_edge_stream``: file-source streams over
+  the same schemas the batch engine uses (new crawl shards land as
+  parquet files; each micro-batch picks them up).
+- ``windowed_degree_counts``: event-time tumbling/sliding window of
+  in-degree per target with a watermark for late pages — the streaming
+  twin of ``graph.in_degrees``.
+- ``streaming_link_extract``: the same Arrow-vectorized href extraction
+  as the batch path (``corpus.extract_links``) applied to a stream —
+  mapInPandas is supported unchanged on streaming DataFrames.
+- ``incremental_edge_sink``: append-mode parquet sink; the batch engine
+  re-runs PageRank over the accumulated table (the idiomatic
+  batch-over-growing-table pattern for iterative algorithms, which are
+  not expressible as a single incremental streaming query).
+
+Everything is testable locally with ``trigger(availableNow=True)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PAGE_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+EDGE_SCHEMA = "src long, dst long, event_ts timestamp"
+
+
+def read_page_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(PAGE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def read_edge_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(EDGE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_link_extract(pages: DataFrame) -> DataFrame:
+    """href extraction on a page stream — reuses the batch Arrow UDF
+    (mapInPandas is streaming-compatible; per-row invariant unchanged)."""
+    from giraph_spark.corpus import extract_links
+
+    return extract_links(pages)
+
+
+def windowed_degree_counts(
+    edges: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    ts_col: str = "event_ts",
+) -> DataFrame:
+    """Per-window in-degree per target vertex with late-data handling:
+    ``groupBy(window(ts), dst).count()`` after a watermark — state is
+    bounded by (watermark / slide) windows per key, so it holds at
+    arbitrary stream length."""
+    win = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        edges.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("window"), F.col("dst"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "dst",
+            "in_degree",
+        )
+    )
+
+
+def incremental_edge_sink(
+    edges: DataFrame, path: str, checkpoint: str, available_now: bool = True
+):
+    """Append new edges to the growing parquet table (exactly-once via the
+    checkpoint dir); returns the StreamingQuery. The batch engine reads
+    the same path for the next PageRank run."""
+    writer = (
+        edges.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+):
+    """Drain a streaming DataFrame into an in-memory table with
+    availableNow (test/debug harness; mirrors the reference's in-memory
+    output format, io/formats/InMemoryVertexOutputFormat.java)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
