@@ -139,6 +139,48 @@ def _pagerank_sql(iters: int, damping: float = 0.85) -> str:
     )
 
 
+def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
+    d = damping
+    parts = [
+        _GRAPH,
+        "w AS MATERIALIZED (SELECT src, dst, CAST((src * 7 + dst * 13) % 3 + 1 AS DOUBLE) AS weight FROM edges)",
+        """wn AS MATERIALIZED (
+  SELECT src, dst, weight / sum(weight) OVER (PARTITION BY src) AS weight FROM w
+)""",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "hasout AS MATERIALIZED (SELECT DISTINCT src FROM edges)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS rank FROM verts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT sum(r.rank) AS all_sum,
+         coalesce(sum(CASE WHEN h.src IS NULL THEN r.rank END), 0.0) AS sink_sum
+  FROM r{k} r LEFT JOIN hasout h ON h.src = r.id
+)"""
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(r.rank * e.weight) AS msg
+  FROM wn e JOIN r{k} r ON r.id = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         {d} * (coalesce(m.msg, 0.0) + (SELECT sink_sum FROM s{k}) / (SELECT n FROM nv))
+       + {1.0 - d} * (SELECT all_sum FROM s{k}) / (SELECT n FROM nv) AS rank
+  FROM r{k} v LEFT JOIN m{k} m ON m.id = v.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 7) AS rank FROM r{iters}"
+    )
+
+
 def _lpa_sql(iters: int) -> str:
     parts = [_GRAPH, _SYM, "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
     for k in range(iters):
@@ -501,6 +543,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices.select("id", F.round("rank", 7).alias("rank"))
 
 
+def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    run = pagerank(
+        spark, with_weight(demo_edges(spark, sf_dir)), max_supersteps=4,
+        weighted=True, num_partitions=NP,
+    )
+    return run.vertices.select("id", F.round("rank", 7).alias("rank"))
+
+
 def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = connected_components(spark, demo_edges(spark, sf_dir), num_partitions=NP)
     return run.vertices
@@ -794,6 +844,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": q_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
         "lpa": q_lpa,
         "maxlabel": q_maxlabel,
@@ -834,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(5),
+        "pagerank_weighted": _pagerank_weighted_sql(4),
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
         "lpa": _lpa_sql(3),
         "maxlabel": _minlabel_sql(30, "edges", "greatest", "label"),

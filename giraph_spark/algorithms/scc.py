@@ -33,29 +33,44 @@ def _propagate(
     edges: DataFrame, seeds: DataFrame, max_iters: int = 50
 ) -> DataFrame:
     """Max-label frontier propagation along ``edges`` from ``seeds``
-    (id, lab); returns the fixpoint (id, lab) over reached vertices."""
+    (id, lab); returns the fixpoint (id, lab) over reached vertices.
+
+    One action per iteration (the frontier count doubles as the halt
+    check); lineage cut every few iterations instead of per-step
+    checkpoints — the inner loops dominate SCC wall time, so job count
+    is the budget here."""
+    neg_inf = -(1 << 62)
     state = seeds
     frontier = seeds
-    for _ in range(max_iters):
+    prev = None
+    for it in range(max_iters):
         msgs = (
             edges.join(frontier.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.max("lab").alias("m"))
         )
-        joined = state.join(msgs, "id", "full")
-        new_state = joined.select(
-            "id", F.greatest(F.coalesce("lab", F.lit(-(1 << 62))), F.coalesce("m", F.lit(-(1 << 62)))).alias("lab")
-        )
-        new_frontier = (
-            new_state.join(state.withColumnRenamed("lab", "old"), "id", "left")
-            .where(F.col("old").isNull() | (F.col("lab") > F.col("old")))
-            .select("id", "lab")
-        )
-        new_state = new_state.localCheckpoint(eager=True)
-        new_frontier = new_frontier.localCheckpoint(eager=True)
-        state = new_state
-        frontier = new_frontier
-        if frontier.isEmpty():
+        joined = state.withColumnRenamed("lab", "old").join(msgs, "id", "full")
+        combined = joined.select(
+            "id",
+            F.greatest(
+                F.coalesce("old", F.lit(neg_inf)), F.coalesce("m", F.lit(neg_inf))
+            ).alias("lab"),
+            (
+                F.col("old").isNull()
+                | (F.coalesce("m", F.lit(neg_inf)) > F.col("old"))
+            ).alias("_grew"),
+        ).persist()
+        if it % 3 == 2:
+            cut = combined.localCheckpoint(eager=True)
+            combined.unpersist()
+            combined = cut
+        grew = combined.where("_grew").count()
+        if prev is not None:  # the count above consumed prev's cache
+            prev.unpersist()
+        prev = combined
+        state = combined.select("id", "lab")
+        frontier = combined.where("_grew").select("id", "lab")
+        if grew == 0:
             break
     return state
 

@@ -87,6 +87,18 @@ def gather_messages(
     return level1.groupBy(key).agg(*[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs])
 
 
+def _checkpointed_jrdd(df: DataFrame):
+    """Best-effort handle to the java RDD backing a localCheckpoint'ed
+    DataFrame (LogicalRDD.rdd), for explicit release — there is no public
+    unpersist for checkpoint blocks. Returns None if the internals don't
+    match (then the block lives until session end, the pre-existing
+    behavior)."""
+    try:
+        return df._jdf.queryExecution().analyzed().rdd()  # noqa: SLF001
+    except Exception:  # noqa: BLE001
+        return None
+
+
 @dataclass
 class PregelRun:
     """Outcome of a superstep loop."""
@@ -110,7 +122,7 @@ def run_supersteps(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
-    lineage_cut_interval: int = 4,
+    lineage_cut_interval: int = 1,
     verbose: bool = False,
 ) -> PregelRun:
     """Drive the BSP loop.
@@ -141,6 +153,7 @@ def run_supersteps(
     history: list[dict[str, Any]] = []
     converged = False
     last_saved = superstep if (resume and ckpt is not None) else None
+    prev_cut_jrdd = None  # java RDD behind the previous lineage cut
     while superstep < max_supersteps:
         t0 = time.time()
         new_vertices, stats = step(current, superstep)
@@ -165,10 +178,19 @@ def run_supersteps(
             current = reloaded.persist()
         elif lineage_cut_interval and superstep % lineage_cut_interval == 0:
             # bound Catalyst analysis time across iterations (risk register:
-            # iterative-plan blowup; Giraph analog: checkpoint frequency)
+            # iterative-plan blowup; Giraph analog: checkpoint frequency).
+            # Measured: without the cut, analysis grows ~+3s/superstep on a
+            # 16M-edge graph, while the cut itself reuses the cached
+            # partitions and costs well under a second — hence every step.
             cut = current.localCheckpoint(eager=True)
             current.unpersist()
             current = cut
+            # release the PREVIOUS cut's checkpointed RDD: unlike persist(),
+            # localCheckpoint blocks are not freed by DataFrame.unpersist,
+            # so a long run would otherwise hold every superstep's state
+            if prev_cut_jrdd is not None:
+                prev_cut_jrdd.unpersist(False)
+            prev_cut_jrdd = _checkpointed_jrdd(cut)
 
         if halt is not None and halt(stats, superstep):
             converged = True

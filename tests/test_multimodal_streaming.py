@@ -121,7 +121,10 @@ def test_windowed_degree_counts_and_sink(spark, tmp_path):
 
     stream = read_edge_stream(spark, src)
     counts = windowed_degree_counts(stream, window="10 minutes", watermark="1 hour")
-    run_stream_to_memory(counts, "deg_stream", output_mode="append")
+    # append mode would hold rows until the watermark passes each window's
+    # end; a finite drain never closes the last windows, so assert on
+    # update-mode output (the streaming-correct choice for this sink)
+    run_stream_to_memory(counts, "deg_stream", output_mode="update")
     rows = spark.sql(
         "SELECT dst, in_degree FROM deg_stream ORDER BY window_start, dst"
     ).collect()
