@@ -44,7 +44,7 @@ from giraph_spark.session import get_spark  # noqa: E402
 
 EDGES_PATH = "/tmp/giraph_scaling_edges.parquet"
 SHUFFLE_PARTITIONS = 64
-WARMUP = 2
+WARMUP = 4
 DRIVER_MEM = "64g"  # the superstep working set at 10^8 edges needs real heap
 
 
