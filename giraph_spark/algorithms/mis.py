@@ -34,8 +34,10 @@ def maximal_independent_set(
     undecided = vertices_from_edges(e).localCheckpoint(eager=True)
     in_set: DataFrame | None = None
 
+    exhausted = True
     for rnd in range(max_rounds):
         if undecided.isEmpty():
+            exhausted = False
             break
         prio = undecided.select(
             "id",
@@ -70,6 +72,12 @@ def maximal_independent_set(
             .localCheckpoint(eager=True)
         )
 
+    if exhausted and not undecided.isEmpty():
+        raise RuntimeError(
+            "maximal_independent_set: round budget exhausted with "
+            f"{undecided.count()} vertices still undecided — result would "
+            "violate maximality; raise max_rounds"
+        )
     verts = vertices_from_edges(e)
     assert in_set is not None
     return verts.join(

@@ -99,11 +99,18 @@ def decode_image(
     preserved (narrow transform — no shuffle)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zero = bytes(width * height * channels)
         for pdf in batches:
             raws = pdf[binary_col]
-            fmts = raws.map(lambda b: sniff_format(bytes(b)))
+            # null guard: a null binary cell yields format=None + zero
+            # pixels instead of a TypeError that fails the whole stage
+            fmts = raws.map(lambda b: None if b is None else sniff_format(bytes(b)))
             if FAKE_DECODER:
-                pix = raws.map(lambda b: _fake_pixels(bytes(b), width, height, channels))
+                pix = raws.map(
+                    lambda b: zero
+                    if b is None
+                    else _fake_pixels(bytes(b), width, height, channels)
+                )
             else:  # pragma: no cover - real codec path
                 import io
 
@@ -136,18 +143,47 @@ def image_features(decoded: DataFrame) -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            means, stds, hists = [], [], []
-            for pix, w, h, c in zip(
-                pdf["pixels"], pdf["width"], pdf["height"], pdf["channels"]
-            ):
-                arr = np.frombuffer(pix, dtype=np.uint8).reshape(int(h), int(w), int(c))
-                means.append([float(x) for x in arr.mean(axis=(0, 1))])
-                stds.append([float(x) for x in arr.std(axis=(0, 1))])
-                luma = arr.mean(axis=2)
-                hist, _ = np.histogram(luma, bins=8, range=(0, 256))
-                hists.append([int(x) for x in hist])
+            if len(pdf) == 0:
+                continue
+            # group rows by shape so each group is ONE stacked ndarray op
+            # (decode_image emits uniform dims, so this is a single group)
+            shapes = list(zip(pdf["height"], pdf["width"], pdf["channels"]))
+            out_mean = [None] * len(pdf)
+            out_std = [None] * len(pdf)
+            out_hist = [None] * len(pdf)
+            by_shape: dict[tuple, list[int]] = {}
+            for i, s in enumerate(shapes):
+                by_shape.setdefault((int(s[0]), int(s[1]), int(s[2])), []).append(i)
+            for (h, w, c), idxs in by_shape.items():
+                stack = np.stack(
+                    [
+                        np.frombuffer(pdf["pixels"].iloc[i], dtype=np.uint8).reshape(
+                            h, w, c
+                        )
+                        for i in idxs
+                    ]
+                ).astype(np.float64)
+                m = stack.mean(axis=(1, 2))  # (n, c)
+                sd = stack.std(axis=(1, 2))
+                luma = stack.mean(axis=3)  # (n, h, w)
+                # vectorized 8-bin histogram over [0,256) per image
+                bins = np.minimum((luma // 32).astype(np.int64), 7).reshape(
+                    len(idxs), -1
+                )
+                hist = np.stack(
+                    [np.bincount(row, minlength=8) for row in bins]
+                )
+                for j, i in enumerate(idxs):
+                    out_mean[i] = [float(x) for x in m[j]]
+                    out_std[i] = [float(x) for x in sd[j]]
+                    out_hist[i] = [int(x) for x in hist[j]]
             yield pd.DataFrame(
-                {"key": pdf["key"], "mean": means, "std": stds, "histogram": hists}
+                {
+                    "key": pdf["key"],
+                    "mean": out_mean,
+                    "std": out_std,
+                    "histogram": out_hist,
+                }
             )
 
     return decoded.mapInPandas(

@@ -78,8 +78,14 @@ def gather_messages(
         return messages.groupBy(key).agg(
             *[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs]
         )
+    # Deterministic per-row salt: hash the full row CONTENT so a retried /
+    # speculative map task reproduces identical salt assignments (a
+    # nondeterministic expression like monotonically_increasing_id as a
+    # shuffle key risks dropped/duplicated messages under partial stage
+    # retry — the SPARK-23207 failure class).
     salted = messages.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in messages.columns]), F.lit(salt)),
     )
     level1 = salted.groupBy(key, "_salt").agg(
         *[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs]
@@ -135,6 +141,13 @@ def run_supersteps(
     decision of BspServiceMaster.java:1654-1679. Snapshots + per-partition
     lineage metrics are written every ``checkpoint_interval`` supersteps;
     with ``resume=True`` the loop continues from the newest valid snapshot.
+
+    Lineage-cut invalidation: each cut explicitly releases the PREVIOUS
+    cut's localCheckpoint blocks, so a ``step``/``halt`` closure must not
+    retain and later re-execute a DataFrame derived from an earlier
+    superstep — it would fail with "checkpoint block not found". Derive
+    everything you need within the superstep (or from ``PregelRun.
+    vertices`` after the loop).
     """
     ckpt = (
         CheckpointManager(spark, checkpoint_dir, checkpoint_interval)

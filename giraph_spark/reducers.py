@@ -54,9 +54,15 @@ def reducer(name: str, col: Column | str) -> Column:
 
 def top_n(df: DataFrame, col: str, n: int, ascending: bool = False) -> DataFrame:
     """TopNReduce (giraph-block-app/.../reducers/TopNReduce.java:32) —
-    bounded priority queue == Spark's TakeOrdered (orderBy + limit)."""
-    ordering = F.col(col).asc() if ascending else F.col(col).desc()
-    return df.orderBy(ordering).limit(n)
+    bounded priority queue == Spark's TakeOrdered (orderBy + limit).
+
+    Ties on ``col`` are broken by the remaining columns ascending, so the
+    selected set (and its order) is deterministic across executions — the
+    reference's priority queue is likewise total-ordered on (value, id).
+    """
+    ordering = [F.col(col).asc() if ascending else F.col(col).desc()]
+    ordering += [F.col(c).asc() for c in df.columns if c != col]
+    return df.orderBy(*ordering).limit(n)
 
 
 def arg_max(df: DataFrame, key: str, by: str) -> DataFrame:

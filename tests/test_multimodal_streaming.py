@@ -62,6 +62,16 @@ def test_decode_image_shape_and_determinism(media):
         assert bytes(d1[k].pixels) == bytes(d2[k].pixels)  # deterministic fake
 
 
+def test_decode_image_null_guard(spark):
+    df = spark.createDataFrame(
+        [("a", PNG), ("n", None)], "key string, data binary"
+    )
+    rows = {r.key: r for r in decode_image(df, "key", "data", 4, 4, 3).collect()}
+    assert rows["n"].format is None
+    assert bytes(rows["n"].pixels) == bytes(4 * 4 * 3)
+    assert rows["a"].format == "png"
+
+
 def test_image_features_oracle(media, spark):
     decoded = decode_image(media.limit(1), "key", "data", 8, 8, 3)
     feats = image_features(decoded).collect()[0]
