@@ -22,7 +22,14 @@ from giraph_spark.algorithms.pagerank import pagerank
 from giraph_spark.algorithms.paths import bfs, sssp
 from giraph_spark.algorithms.triangles import triangle_list, triangles_per_vertex
 from giraph_spark.algorithms.wcc import connected_components
-from giraph_spark.corpus import build_edges, synth_corpus, url_mapping, with_extracted_text
+from giraph_spark.algorithms.mis import luby_priority_sql
+from giraph_spark.corpus import (
+    build_edges,
+    corpus_parquet,
+    synth_corpus,
+    url_mapping,
+    with_extracted_text,
+)
 from giraph_spark.datasets import DEMO_EDGES_SQL, demo_edges, with_weight
 from giraph_spark.dedup import (
     SIMHASH_BITS,
@@ -283,6 +290,155 @@ def _minlabel_sql(iters: int, edge_table: str, agg: str, out_col: str) -> str:
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT id, lab AS {out_col} FROM p{iters}"
+    )
+
+
+def _mis_sql(rounds: int) -> str:
+    """Unrolled Luby rounds — replays mis.py's portable (id, round)
+    priorities exactly; extra rounds past the fixpoint are no-ops."""
+    parts = [_GRAPH, _SYM, "u0 AS MATERIALIZED (SELECT id FROM verts)"]
+    for r in range(rounds):
+        pexpr = luby_priority_sql("id", r)
+        parts.append(f"p{r} AS MATERIALIZED (SELECT id, {pexpr} AS p FROM u{r})")
+        parts.append(
+            f"""b{r} AS (SELECT DISTINCT e.src AS id FROM sym e
+  JOIN p{r} ps ON ps.id = e.src JOIN p{r} pd ON pd.id = e.dst
+  WHERE pd.p < ps.p OR (pd.p = ps.p AND e.dst < e.src))"""
+        )
+        parts.append(
+            f"w{r} AS MATERIALIZED (SELECT id FROM u{r} EXCEPT SELECT id FROM b{r})"
+        )
+        parts.append(
+            f"n{r} AS (SELECT DISTINCT e.dst AS id FROM sym e JOIN w{r} w ON w.id = e.src)"
+        )
+        parts.append(
+            f"u{r + 1} AS MATERIALIZED (SELECT id FROM u{r} "
+            f"EXCEPT SELECT id FROM w{r} EXCEPT SELECT id FROM n{r})"
+        )
+    winners = " UNION ALL ".join(f"SELECT id FROM w{r}" for r in range(rounds))
+    parts.append(f"allw AS MATERIALIZED ({winners})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT v.id, (a.id IS NOT NULL)::BIGINT AS in_set
+FROM verts v LEFT JOIN allw a ON a.id = v.id"""
+    )
+
+
+# --- corpus oracles: DuckDB reads the SAME parquet the Spark queries read
+# and replays extraction + URL-keyed graph algorithms in pure SQL -----------
+
+_ENTITY_UNESCAPE = (
+    "replace(replace(replace(replace(replace({x}, "
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&amp;', '&')"
+)
+
+
+def _corpus_prologue(path: str, same_site_only: bool = False) -> list[str]:
+    norm = "regexp_replace(regexp_replace(lower({x}), '#.*$', ''), '/$', '')"
+    site_filter = (
+        "WHERE regexp_extract(url, '^(https?://[^/]+)', 1)"
+        " = regexp_extract(href, '^(https?://[^/]+)', 1)"
+        if same_site_only
+        else ""
+    )
+    return [
+        f"""pages AS MATERIALIZED (
+  SELECT url, decode(html) AS h, text FROM read_parquet('{path}/*.parquet'))""",
+        """links AS (
+  SELECT url, unnest(regexp_extract_all(h, '<a\\s+href="([^"]*)"', 1)) AS href
+  FROM pages)""",
+        f"""res AS (
+  SELECT url, href FROM (
+    SELECT url, CASE WHEN href LIKE '/%'
+        THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+        ELSE href END AS href
+    FROM links) {site_filter})""",
+        f"""edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT DISTINCT {norm.format(x='url')} AS src,
+                    {norm.format(x='href')} AS dst
+    FROM res) WHERE src <> dst)""",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+    ]
+
+
+def _corpus_extract_sql(path: str) -> str:
+    got = _ENTITY_UNESCAPE.format(
+        x="array_to_string(regexp_extract_all(h, '<p>(.*?)</p>', 1), chr(10))"
+    )
+    return f"""WITH pages AS (
+  SELECT decode(html) AS h, text FROM read_parquet('{path}/*.parquet')),
+ex AS (SELECT text, {got} AS got FROM pages)
+SELECT count(*)::BIGINT AS n_pages,
+       coalesce(sum(CASE WHEN got <> text THEN 1 ELSE 0 END), 0)::BIGINT AS n_mismatch
+FROM ex"""
+
+
+def _corpus_pagerank_sql(path: str, iters: int, damping: float = 0.85) -> str:
+    d = damping
+    parts = _corpus_prologue(path) + [
+        "deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src)",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS rank FROM verts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT sum(r.rank) AS all_sum,
+         coalesce(sum(CASE WHEN d.src IS NULL THEN r.rank END), 0.0) AS sink_sum
+  FROM r{k} r LEFT JOIN deg d ON d.src = r.id
+)"""
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(r.rank / d.outdeg) AS msg
+  FROM edges e JOIN r{k} r ON r.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         {d} * (coalesce(m.msg, 0.0) + (SELECT sink_sum FROM s{k}) / (SELECT n FROM nv))
+       + {1.0 - d} * (SELECT all_sum FROM s{k}) / (SELECT n FROM nv) AS rank
+  FROM r{k} v LEFT JOIN m{k} m ON m.id = v.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS url, round(rank, 6) AS rank FROM r{iters}
+ORDER BY round(rank, 6) DESC, url ASC LIMIT 20"""
+    )
+
+
+def _corpus_wcc_sql(path: str, iters: int = 25) -> str:
+    parts = _corpus_prologue(path, same_site_only=True) + [
+        """sym AS MATERIALIZED (SELECT DISTINCT * FROM (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges))""",
+        "p0 AS MATERIALIZED (SELECT id, id AS lab FROM verts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""p{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(v.lab, coalesce(m.m, v.lab)) AS lab
+  FROM p{k} v LEFT JOIN (
+    SELECT e.dst AS id, min(l.lab) AS m
+    FROM sym e JOIN p{k} l ON l.id = e.src
+    GROUP BY e.dst
+  ) m ON m.id = v.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT lab AS component_url, count(*)::BIGINT AS size
+FROM p{iters} GROUP BY lab
+ORDER BY size DESC, component_url ASC LIMIT 10"""
     )
 
 
@@ -615,10 +771,11 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = verts.join(deg.withColumnRenamed("src", "id"), "id", "left").select(
         F.coalesce("out_degree", F.lit(0)).alias("d")
     )
-    n_edges = e.count()
+    # n_edges == total out-degree mass: folded into the single aggregate
+    # instead of a separate count() action
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("n_vertices"),
-        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.sum("d").cast("long").alias("n_edges"),
         F.min("d").cast("long").alias("min_out"),
         F.max("d").cast("long").alias("max_out"),
         F.round(F.avg("d"), 6).alias("avg_out"),
@@ -768,9 +925,8 @@ def q_largest_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.algorithms.mis import maximal_independent_set
 
-    # engine-only (no SQL oracle: per-round xxhash64 priorities are not
-    # portable); driver records the weaker rows-only check
-    return maximal_independent_set(spark, demo_edges(spark, sf_dir))
+    out = maximal_independent_set(spark, demo_edges(spark, sf_dir))
+    return out.select("id", F.col("in_set").cast("long").alias("in_set"))
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -788,39 +944,65 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- corpus-native queries (engine path; no SQL oracle — the corpus is
-# generated in Spark, so DuckDB has no equivalent input) ---------------------
+# --- corpus-native queries: the synthetic corpus is materialized ONCE to
+# parquet so DuckDB reads the *identical* table and every query gets a
+# real oracle (extraction replayed in SQL; graph keyed by URL strings,
+# which are portable, instead of xxhash64 vertex ids, which are not) ---------
+
+_CORPUS_N = 2000
+_CORPUS_SEED = 42
+# must match corpus_parquet()'s layout — oracle_sql() has no SparkSession
+_CORPUS_PATH = f"/tmp/giraph_spark_corpus/n{_CORPUS_N}_seed{_CORPUS_SEED}.parquet"
+
+
+def _corpus_pages(spark: SparkSession) -> tuple[DataFrame, str]:
+    path = corpus_parquet(spark, _CORPUS_N, _CORPUS_SEED)
+    return spark.read.parquet(path), path
 
 
 def q_corpus_extract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = synth_corpus(spark, n_pages=2000, seed=42)
+    pages, _ = _corpus_pages(spark)
     checked = with_extracted_text(pages)
     return checked.agg(
-        F.count(F.lit(1)).alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
         F.sum(
             F.when(F.col("extracted_text") != F.col("text"), 1).otherwise(0)
-        ).alias("n_mismatch"),
+        ).cast("long").alias("n_mismatch"),
     )
 
 
 def q_corpus_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = synth_corpus(spark, n_pages=2000, seed=42)
+    pages, _ = _corpus_pages(spark)
     edges = build_edges(pages)
-    run = pagerank(spark, edges, max_supersteps=15, tolerance=1e-6, num_partitions=NP)
+    run = pagerank(spark, edges, max_supersteps=10, tolerance=None, num_partitions=NP)
     urls = url_mapping(pages)
-    top = run.vertices.join(urls, "id").orderBy(F.col("rank").desc(), "id").limit(20)
-    return top.select("url", F.round("rank", 4).alias("rank"))
+    return (
+        run.vertices.join(urls, "id")
+        .select("url", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "url")
+        .limit(20)
+    )
 
 
 def q_corpus_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = synth_corpus(spark, n_pages=2000, seed=42)
-    edges = build_edges(pages)
+    # same-site subgraph: many components, so the oracle actually
+    # discriminates (the full link graph is one hub-connected component)
+    pages, _ = _corpus_pages(spark)
+    edges = build_edges(pages, same_site_only=True)
     run = connected_components(spark, edges, num_partitions=NP)
+    urls = url_mapping(pages)
+    comp = (
+        run.vertices.join(urls, "id")
+        .groupBy("component")
+        .agg(
+            F.min("url").alias("component_url"),
+            F.count(F.lit(1)).cast("long").alias("size"),
+        )
+    )
     return (
-        run.vertices.groupBy("component")
-        .agg(F.count(F.lit(1)).alias("size"))
-        .orderBy(F.col("size").desc(), "component")
+        comp.orderBy(F.col("size").desc(), "component_url")
         .limit(10)
+        .select("component_url", "size")
     )
 
 
@@ -958,6 +1140,10 @@ SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "event_rollup": _ROLLUP_SQL,
         "scc": _SCC_SQL,
         "ppr": _ppr_sql(15),
+        "mis": _mis_sql(24),
+        "corpus_extract_check": _corpus_extract_sql(_CORPUS_PATH),
+        "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PATH, 10),
+        "corpus_wcc": _corpus_wcc_sql(_CORPUS_PATH),
         "component_sizes": (
             "WITH "
             + ",\n".join(

@@ -6,18 +6,46 @@ round, vertices that locally win against all undecided neighbors join
 the set; their neighbors leave; repeat until every vertex is decided.
 
 Determinism: the reference uses vertex ids as priorities; we use a
-per-round hash ``xxhash64(id, round)`` (classic Luby) which converges in
-O(log n) expected rounds on any graph and is reproducible across runs
-and parallelism levels (pure function of id+round). Ties cannot occur
-within a round modulo hash collisions, which the id tiebreak resolves.
+per-round *portable* 31-bit mix of ``(id, round)`` (classic Luby) which
+converges in O(log n) expected rounds on any graph and is reproducible
+across runs, parallelism levels, AND engines — the same arithmetic is
+expressible in ANSI SQL (murmur-style multiply-xorshift mod 2^31, no
+engine-specific hash builtin), so a DuckDB oracle can replay the exact
+round-by-round decisions. Ties cannot occur within a round modulo hash
+collisions, which the id tiebreak resolves.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giraph_spark.graph import symmetrize, vertices_from_edges
+
+_M31 = 1 << 31  # all mixing is mod 2^31: products stay < 2^63 (ANSI-safe)
+_C1, _C2, _C3 = 2654435769, 2246822519, 3266489917
+
+
+def luby_priority(id_col: Column, rnd: int) -> Column:
+    """Portable per-round priority: murmur-style fmix on 31 bits.
+
+    Pure integer arithmetic (+ * % xor >>) with every intermediate in
+    [0, 2^63) — identical results in Spark SQL and any ANSI engine.
+    """
+    x = F.pmod(F.pmod(id_col, F.lit(_M31)) + F.lit(_C1) * F.lit(rnd + 1), F.lit(_M31))
+    x = F.pmod(x * F.lit(_C2), F.lit(_M31))
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    x = F.pmod(x * F.lit(_C3), F.lit(_M31))
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def luby_priority_sql(id_expr: str, rnd: int) -> str:
+    """The identical priority as an ANSI/DuckDB SQL expression."""
+    x1 = f"(({id_expr}) % {_M31} + {_C1 * (rnd + 1)}) % {_M31}"
+    x2 = f"(({x1}) * {_C2}) % {_M31}"
+    x3 = f"xor(({x2}), ({x2}) >> 13)"
+    x4 = f"(({x3}) * {_C3}) % {_M31}"
+    return f"xor(({x4}), ({x4}) >> 16)"
 
 
 def maximal_independent_set(
@@ -39,10 +67,7 @@ def maximal_independent_set(
         if undecided.isEmpty():
             exhausted = False
             break
-        prio = undecided.select(
-            "id",
-            F.xxhash64(F.col("id"), F.lit(rnd)).alias("p"),
-        )
+        prio = undecided.select("id", luby_priority(F.col("id"), rnd).alias("p"))
         # active edges among undecided vertices, with both priorities
         ea = (
             e.join(prio.select(F.col("id").alias("src"), F.col("p").alias("psrc")), "src")

@@ -241,14 +241,27 @@ def url_id(col: Column) -> Column:
     return F.xxhash64(normalize_url(col))
 
 
-def build_edges(pages: DataFrame, drop_self_loops: bool = True) -> DataFrame:
+def build_edges(
+    pages: DataFrame,
+    drop_self_loops: bool = True,
+    same_site_only: bool = False,
+) -> DataFrame:
     """Derive the deduped edge table (src: long, dst: long) from pages.
 
     Graph-prep semantics follow
     ``giraph-block-app-8/.../prepare_graph/PrepareGraphPieces.java:87-139``
-    (dedup + self-loop drop).
+    (dedup + self-loop drop). ``same_site_only`` keeps only links whose
+    origin matches the page's origin (an input filter — SURVEY §2.6's
+    multi-input/filter surface), yielding a many-component site-local
+    subgraph.
     """
     links = extract_links(pages)
+    if same_site_only:
+        origin = r"^(https?://[^/]+)"
+        links = links.where(
+            F.regexp_extract(F.col("url"), origin, 1)
+            == F.regexp_extract(F.col("href"), origin, 1)
+        )
     edges = links.select(
         url_id(F.col("url")).alias("src"), url_id(F.col("href")).alias("dst")
     )
@@ -260,3 +273,24 @@ def build_edges(pages: DataFrame, drop_self_loops: bool = True) -> DataFrame:
 def url_mapping(pages: DataFrame) -> DataFrame:
     """(id, url) dimension for joining results back to URLs."""
     return pages.select(url_id(F.col("url")).alias("id"), "url").dropDuplicates(["id"])
+
+
+def corpus_parquet(
+    spark: SparkSession,
+    n_pages: int,
+    seed: int = 42,
+    base_dir: str = "/tmp/giraph_spark_corpus",
+) -> str:
+    """Materialize the deterministic synthetic corpus to parquet (once per
+    (n_pages, seed)) and return the path — so an external SQL engine
+    (the DuckDB oracle) reads the *identical* table the Spark queries
+    read, instead of trusting two generators to agree."""
+    import os
+
+    path = f"{base_dir}/n{n_pages}_seed{seed}.parquet"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        synth_corpus(spark, n_pages=n_pages, seed=seed).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
