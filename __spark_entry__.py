@@ -699,6 +699,19 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices.select("id", F.round("rank", 7).alias("rank"))
 
 
+def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same PageRank, but reading the persisted bucketed-by-src edge
+    table — the superstep scatter join has no edge-side Exchange."""
+    from giraph_spark.storage import read_bucketed_edges, write_bucketed_edges
+
+    write_bucketed_edges(demo_edges(spark, sf_dir), "demo_edges_bucketed", buckets=NP)
+    e = read_bucketed_edges(spark, "demo_edges_bucketed")
+    run = pagerank(
+        spark, e, max_supersteps=5, num_partitions=NP, pre_partitioned=True
+    )
+    return run.vertices.select("id", F.round("rank", 7).alias("rank"))
+
+
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = pagerank(
         spark, with_weight(demo_edges(spark, sf_dir)), max_supersteps=4,
@@ -1026,6 +1039,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": q_pagerank,
+        "pagerank_bucketed": q_pagerank_bucketed,
         "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
         "lpa": q_lpa,
@@ -1067,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(5),
+        "pagerank_bucketed": _pagerank_sql(5),
         "pagerank_weighted": _pagerank_weighted_sql(4),
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
         "lpa": _lpa_sql(3),

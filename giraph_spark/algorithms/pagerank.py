@@ -51,6 +51,7 @@ def pagerank(
     resume: bool = False,
     num_partitions: int | None = None,
     lineage_cut_interval: int = 1,
+    pre_partitioned: bool = False,
     verbose: bool = False,
 ) -> PregelRun:
     """Run PageRank; result ``vertices`` has columns (id, rank).
@@ -58,6 +59,9 @@ def pagerank(
     ``tolerance=None`` runs exactly ``max_supersteps`` iterations
     (RepeatBlock semantics); otherwise halt when the chosen convergence
     metric drops below tolerance (RepeatUntilBlock semantics).
+    ``pre_partitioned=True`` declares that ``edges`` already carries a
+    hash-partitioning on ``src`` (a bucketed table from
+    ``storage.write_bucketed_edges``) and skips the per-run exchange.
     """
     if convergence not in ("l1", "l1_mean", "linf", "rmse"):
         raise ValueError(f"unknown convergence type {convergence!r}")
@@ -76,8 +80,12 @@ def pagerank(
             .drop("out_degree")
         )
     # static for the whole run: hash-partition by the scatter key once and
-    # cache, so each superstep's scatter join reshuffles only the rank state
-    e = e.repartition(num_partitions, "src").persist()
+    # cache, so each superstep's scatter join reshuffles only the rank state;
+    # a bucketed input table already IS partitioned that way — skip the
+    # exchange entirely (storage.write_bucketed_edges)
+    if not pre_partitioned:
+        e = e.repartition(num_partitions, "src")
+    e = e.persist()
 
     verts = vertices_from_edges(edges)
     sinks = verts.join(edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti")

@@ -42,13 +42,24 @@ def connected_components(
     checkpoint_interval: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
+    pre_partitioned: bool = False,
     verbose: bool = False,
 ) -> PregelRun:
-    """Result ``vertices``: (id, component) with component = min id reachable."""
+    """Result ``vertices``: (id, component) with component = min id reachable.
+
+    ``pre_partitioned=True``: ``edges`` is already hash-partitioned on
+    ``src`` (bucketed table) — used as-is, no exchange; the caller
+    guarantees symmetry if wanted (``symmetrize_input`` is ignored,
+    since symmetrizing would destroy the partitioning).
+    """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = symmetrize(edges) if symmetrize_input else edges.select("src", "dst")
-    e = e.repartition(num_partitions, "src").persist()
+    if pre_partitioned:
+        e = edges.select("src", "dst")
+    else:
+        e = symmetrize(edges) if symmetrize_input else edges.select("src", "dst")
+        e = e.repartition(num_partitions, "src")
+    e = e.persist()
 
     # superstep 0 of the init piece: min(own id, neighbor ids); vertices are
     # marked changed so everyone scatters once

@@ -1,0 +1,69 @@
+"""Bucketed persisted edge tables: plan shape + correctness parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from giraph_spark.algorithms.pagerank import pagerank
+from giraph_spark.algorithms.wcc import connected_components
+from giraph_spark.datasets import synthetic_edges
+from giraph_spark.graph import symmetrize
+from giraph_spark.storage import (
+    count_exchanges,
+    read_bucketed_edges,
+    write_bucketed_edges,
+)
+
+
+def test_bucketed_scan_elides_src_exchange(spark):
+    edges = synthetic_edges(spark, 500, avg_degree=6)
+    write_bucketed_edges(edges, "t_edges_b1", buckets=4)
+    b = read_bucketed_edges(spark, "t_edges_b1")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        state = b.select(F.col("src").alias("id")).distinct().withColumn(
+            "rank", F.lit(1.0)
+        )
+        scatter = b.join(state.withColumnRenamed("id", "src"), "src")
+        # only the state side shuffles; the bucketed edge scan does not
+        n_bucketed = count_exchanges(scatter)
+
+        plain = edges.join(state.withColumnRenamed("id", "src"), "src")
+        n_plain = count_exchanges(plain)
+        assert n_bucketed < n_plain, (n_bucketed, n_plain)
+
+        # groupBy on the bucket key is exchange-free too
+        assert count_exchanges(b.groupBy("src").count()) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_pagerank_matches_plain(spark):
+    edges = synthetic_edges(spark, 400, avg_degree=5).persist()
+    write_bucketed_edges(edges, "t_edges_b2", buckets=4)
+    b = read_bucketed_edges(spark, "t_edges_b2")
+
+    plain = pagerank(spark, edges, max_supersteps=4, num_partitions=4)
+    buck = pagerank(
+        spark, b, max_supersteps=4, num_partitions=4, pre_partitioned=True
+    )
+    a = {r.id: round(r.rank, 9) for r in plain.vertices.collect()}
+    c = {r.id: round(r.rank, 9) for r in buck.vertices.collect()}
+    assert a == c
+    edges.unpersist()
+
+
+def test_bucketed_wcc_matches_plain(spark):
+    edges = synthetic_edges(spark, 300, avg_degree=3).persist()
+    sym = symmetrize(edges)
+    write_bucketed_edges(sym, "t_edges_b3", buckets=4)
+    b = read_bucketed_edges(spark, "t_edges_b3")
+
+    plain = connected_components(spark, edges, num_partitions=4)
+    buck = connected_components(spark, b, pre_partitioned=True)
+    a = {r.id: r.component for r in plain.vertices.collect()}
+    c = {r.id: r.component for r in buck.vertices.collect()}
+    assert a == c
+    edges.unpersist()
