@@ -1,0 +1,199 @@
+"""Text / adjacency / JSON graph I/O — the reference's pluggable formats.
+
+Readers map the §2.6 input surface onto ``spark.read.text`` plus JVM-side
+split/regex expressions (whole-stage codegen; no Python in the parse
+path), so a 100 TB text edge list scans and parses at full executor
+parallelism with nothing but narrow transformations:
+
+- ``read_edge_list``     — ``io/formats/IntNullTextEdgeInputFormat.java:36-46``
+                           (one ``src<TAB-or-space>dst`` pair per line)
+- ``read_adjacency``     — ``io/formats/AdjacencyListTextVertexInputFormat.java:30-41``
+                           (``id value dst1 w1 dst2 w2 ...``) and the
+                           unweighted/valueless variant
+                           ``IntIntNullTextInputFormat`` (``id nbr nbr ...``)
+- ``read_json_vertices`` — ``io/formats/JsonLongDoubleFloatDoubleVertexInputFormat.java``
+                           (lines ``[id, value, [[dst, w], ...]]``)
+
+Writers map the §2.6 output surface:
+
+- ``write_id_value_text`` — ``io/formats/IdWithValueTextOutputFormat.java:45-93``
+                            (``id<delim>value``, optional reverse)
+- ``write_graphviz``      — ``io/formats/GraphvizOutputFormat.java:94-142``
+                            (dot digraph; node records + ``a:id -> b:id`` edges)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_WS = r"[\t ]+"
+
+
+def read_edge_list(
+    spark: SparkSession, path: str, delimiter: str = _WS
+) -> DataFrame:
+    """(src: long, dst: long) from one ``src<sep>dst`` pair per line.
+    Blank lines are skipped; ``delimiter`` is a regex (the reference
+    splits on tab-or-space)."""
+    lines = spark.read.text(path).where(F.trim("value") != "")
+    toks = F.split(F.trim("value"), delimiter)
+    return lines.select(
+        toks.getItem(0).cast("long").alias("src"),
+        toks.getItem(1).cast("long").alias("dst"),
+    )
+
+
+def read_adjacency(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = _WS,
+    has_value: bool = False,
+    weighted: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Parse adjacency-list lines into (vertices, edges).
+
+    ``id [value] dst1 [w1] dst2 [w2] ...`` — with ``has_value`` the second
+    token is the vertex value (double); with ``weighted`` neighbor tokens
+    alternate ``dst weight``. Returns ``(vertices(id[, value]),
+    edges(src, dst[, weight]))``.
+    """
+    lines = spark.read.text(path).where(F.trim("value") != "")
+    toks = lines.select(F.split(F.trim("value"), delimiter).alias("t"))
+
+    vcols = [F.col("t").getItem(0).cast("long").alias("id")]
+    nbr_start = 1
+    if has_value:
+        vcols.append(F.col("t").getItem(1).cast("double").alias("value"))
+        nbr_start = 2
+    vertices = toks.select(*vcols)
+
+    rest = toks.select(
+        F.col("t").getItem(0).cast("long").alias("src"),
+        F.posexplode(F.slice("t", nbr_start + 1, 1 << 30)).alias("pos", "tok"),
+    )
+    if weighted:
+        dsts = rest.where(F.col("pos") % 2 == 0).select(
+            "src", F.col("pos").alias("i"), F.col("tok").cast("long").alias("dst")
+        )
+        ws = rest.where(F.col("pos") % 2 == 1).select(
+            "src",
+            (F.col("pos") - 1).alias("i"),
+            F.col("tok").cast("double").alias("weight"),
+        )
+        edges = dsts.join(ws, ["src", "i"]).select("src", "dst", "weight")
+    else:
+        edges = rest.select("src", F.col("tok").cast("long").alias("dst"))
+    return vertices, edges
+
+
+def read_json_vertices(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Lines of ``[id, value, [[dst, w], ...]]`` → (vertices(id, value),
+    edges(src, dst, weight)). The heterogeneous outer array is peeled
+    with regex (JVM-side); the homogeneous edge array parses with
+    ``from_json``."""
+    lines = spark.read.text(path).where(F.trim("value") != "")
+    num = r"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    parsed = lines.select(
+        F.regexp_extract("value", r"^\s*\[\s*(-?\d+)", 1).cast("long").alias("id"),
+        F.regexp_extract("value", r"^\s*\[\s*-?\d+\s*,\s*" + num, 1)
+        .cast("double")
+        .alias("val"),
+        F.from_json(
+            F.regexp_extract("value", r",\s*(\[.*\])\s*\]\s*$", 1),
+            "array<array<double>>",
+        ).alias("adj"),
+    )
+    vertices = parsed.select("id", F.col("val").alias("value"))
+    edges = parsed.select(
+        F.col("id").alias("src"), F.explode("adj").alias("e")
+    ).select(
+        "src",
+        F.element_at("e", 1).cast("long").alias("dst"),
+        F.element_at("e", 2).alias("weight"),
+    )
+    return vertices, edges
+
+
+def write_id_value_text(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    value_col: str | None = None,
+    delimiter: str = "\t",
+    reverse: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """``id<delim>value`` per line (IdWithValueTextOutputFormat semantics,
+    including ``reverse.id.and.value``). ``value_col`` defaults to the
+    first non-id column."""
+    if value_col is None:
+        value_col = next(c for c in df.columns if c != id_col)
+    a, b = (value_col, id_col) if reverse else (id_col, value_col)
+    out = df.select(
+        F.concat_ws(delimiter, F.col(a).cast("string"), F.col(b).cast("string")).alias(
+            "value"
+        )
+    )
+    out.write.mode(mode).text(path)
+
+
+_NODE_COLOR = "blue:orange"  # GraphvizOutputFormat.NODE_TEXT_COLOR
+
+
+def graphviz_lines(
+    vertices: DataFrame,
+    edges: DataFrame,
+    value_col: str | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Distributed dot-body lines (one per vertex/edge) plus header and
+    footer rows, ordered by a rank column — GraphvizOutputFormat.java's
+    node-record + ``src:id -> dst:id`` grammar."""
+    label = F.concat(F.lit("<id> "), F.col("id").cast("string"))
+    if value_col is not None:
+        label = F.concat(label, F.lit("|"), F.col(value_col).cast("string"))
+    nodes = vertices.select(
+        F.lit(1).alias("rk"),
+        F.concat(
+            F.lit('"'),
+            F.col("id").cast("string"),
+            F.lit('" [label="'),
+            label,
+            F.lit(f'",shape=record,fillcolor="{_NODE_COLOR}"];'),
+        ).alias("line"),
+    )
+    edge_txt = F.concat(
+        F.col("src").cast("string"),
+        F.lit(":id -> "),
+        F.col("dst").cast("string"),
+        F.lit(":id"),
+    )
+    if weight_col is not None:
+        edge_txt = F.concat(
+            edge_txt, F.lit(" [label="), F.col(weight_col).cast("string"), F.lit(" ];")
+        )
+    elines = edges.select(F.lit(2).alias("rk"), edge_txt.alias("line"))
+    spark = vertices.sparkSession
+    header = spark.createDataFrame([(0, "digraph g {"), (3, "}")], "rk int, line string")
+    return nodes.unionByName(elines).unionByName(header)
+
+
+def write_graphviz(
+    vertices: DataFrame,
+    edges: DataFrame,
+    path: str,
+    value_col: str | None = None,
+    weight_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write the dot file. A single ordered part keeps ``digraph g {`` /
+    ``}`` framing readable (the reference writes separate begin/end part
+    files for the same reason — GraphvizOutputFormat.java:94-111); at
+    scale keep the body distributed via ``graphviz_lines`` instead."""
+    body = graphviz_lines(vertices, edges, value_col, weight_col)
+    body.coalesce(1).sortWithinPartitions("rk").select("line").write.mode(mode).text(
+        path
+    )
