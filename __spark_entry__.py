@@ -293,6 +293,63 @@ def _minlabel_sql(iters: int, edge_table: str, agg: str, out_col: str) -> str:
     )
 
 
+def _kmeans_assign_sql(k: int, iters: int, seed: int) -> str:
+    """Replay kmeans_fit + final ivf_assign: deterministic init (portable
+    priority), per-iteration argmax on 6dp-rounded cosine with centroid-id
+    tie-break, element-wise means, empty cells keep their centroid."""
+
+    def assign(t: int) -> str:
+        return f"""(
+  SELECT vec_id, centroid_id, cosine FROM (
+    SELECT d.vec_id, d.centroid_id,
+           round(d.dot / (na.nrm * nc.nrm), 6) AS cosine,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY round(d.dot / (na.nrm * nc.nrm), 6) DESC,
+                                       d.centroid_id ASC) AS rn
+    FROM (SELECT a.vec_id, c.centroid_id, sum(a.v * c.v) AS dot
+          FROM u a JOIN c{t} c ON c.pos = a.pos
+          GROUP BY a.vec_id, c.centroid_id) d
+    JOIN norms na ON na.vec_id = d.vec_id
+    JOIN cn{t} nc ON nc.centroid_id = d.centroid_id
+  ) WHERE rn = 1)"""
+
+    parts = [
+        _EMB_UNNEST,
+        f"pr AS MATERIALIZED (SELECT vec_id, {luby_priority_sql('vec_id', seed)} AS p FROM embeddings)",
+        f"""init AS MATERIALIZED (
+  SELECT vec_id, row_number() OVER (ORDER BY p, vec_id) - 1 AS centroid_id
+  FROM pr ORDER BY p, vec_id LIMIT {k})""",
+        """c0 AS MATERIALIZED (
+  SELECT i.centroid_id, u.pos, u.v FROM init i JOIN u ON u.vec_id = i.vec_id)""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"cn{t} AS MATERIALIZED (SELECT centroid_id, sqrt(sum(v*v)) AS nrm FROM c{t} GROUP BY centroid_id)"
+        )
+        parts.append(f"a{t} AS MATERIALIZED {assign(t)}")
+        parts.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT a.centroid_id, u.pos, avg(u.v) AS v
+  FROM a{t} a JOIN u ON u.vec_id = a.vec_id
+  GROUP BY a.centroid_id, u.pos)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS MATERIALIZED (
+  SELECT c.centroid_id, c.pos, coalesce(m.v, c.v) AS v
+  FROM c{t} c LEFT JOIN m{t} m
+    ON m.centroid_id = c.centroid_id AND m.pos = c.pos)"""
+        )
+    parts.append(
+        f"cn{iters} AS MATERIALIZED (SELECT centroid_id, sqrt(sum(v*v)) AS nrm FROM c{iters} GROUP BY centroid_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT vec_id, centroid_id::BIGINT AS centroid_id, cosine FROM {assign(iters)} q"""
+    )
+
+
 def _mis_sql(rounds: int) -> str:
     """Unrolled Luby rounds — replays mis.py's portable (id, round)
     priorities exactly; extra rounds past the fixpoint are no-ops."""
@@ -864,6 +921,19 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, centroids)
 
 
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF assignment: k-means centroids (portable init, 4 rounds)
+    then cell assignment — the real ANN index build."""
+    from giraph_spark.embeddings import ivf_assign, kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_fit(emb, k=8, iters=4, seed=7)
+    out = ivf_assign(emb, cent)
+    return out.select(
+        "vec_id", F.col("centroid_id").cast("long").alias("centroid_id"), "cosine"
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -1064,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
+        "kmeans_ivf": q_kmeans_ivf,
         "sessionize": q_sessionize,
         "event_rollup": q_event_rollup,
         "scc": q_scc,
@@ -1151,6 +1222,7 @@ SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "simhash": _simhash_sql(),
         "ann_topk": _ANN_SQL,
         "ivf_assign": _IVF_SQL,
+        "kmeans_ivf": _kmeans_assign_sql(8, 4, 7),
         "sessionize": _SESSION_SQL,
         "event_rollup": _ROLLUP_SQL,
         "scc": _SCC_SQL,

@@ -116,6 +116,75 @@ def ivf_assign(
     )
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Train IVF centroids: deterministic spherical k-means.
+
+    Init picks the ``k`` vectors with the smallest portable
+    ``luby_priority(id, seed)`` (reproducible across runs, parallelism
+    levels, and engines — no xxhash64). Each iteration is the same
+    Pregel-shaped round the graph algorithms use: broadcast-assign
+    (``ivf_assign``, cosine rounded to 6dp with centroid-id tie-break,
+    so the argmax is cross-engine deterministic) then a groupBy
+    element-wise mean; empty cells keep their previous centroid.
+    Centroids (k × dim doubles) are driver-side aggregator state —
+    collected per round like any MasterCompute aggregate.
+
+    Returns (centroid_id, ``vec_col``) with array<double> centroids.
+    """
+    from giraph_spark.algorithms.mis import luby_priority
+
+    spark = vectors.sparkSession
+    init = (
+        vectors.select(
+            F.col(id_col), F.col(vec_col),
+            luby_priority(F.col(id_col), seed).alias("_p"),
+        )
+        .orderBy("_p", id_col)
+        .limit(k)
+    )
+    cent = init.select(
+        (F.row_number().over(Window.orderBy("_p", id_col)) - 1).alias("centroid_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
+    )
+
+    schema = f"centroid_id int, {vec_col} array<double>"
+    cent_rows = [
+        (int(r["centroid_id"]), [float(x) for x in r[vec_col]])
+        for r in cent.collect()
+    ]
+
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cent_rows, schema)
+        assign = ivf_assign(vectors, cdf, id_col=id_col, vec_col=vec_col)
+        ex = assign.join(vectors, id_col).select(
+            "centroid_id", F.posexplode(vec_col).alias("pos", "v")
+        )
+        means = (
+            ex.groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias(vec_col)
+            )
+        )
+        updated = {
+            int(r["centroid_id"]): [float(x) for x in r[vec_col]]
+            for r in means.collect()
+        }
+        cent_rows = [(cid, updated.get(cid, old)) for cid, old in cent_rows]
+    return spark.createDataFrame(cent_rows, schema)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -196,6 +196,34 @@ def test_ivf_topk_full_probe_equals_brute(emb):
     assert bf == ivf
 
 
+def test_kmeans_trained_ivf_recall(emb, spark):
+    from giraph_spark.embeddings import kmeans_fit
+
+    cents = kmeans_fit(emb, k=6, iters=3, seed=7)
+    assert cents.count() == 6
+    # deterministic across invocations
+    a = sorted(map(repr, cents.collect()))
+    b = sorted(map(repr, kmeans_fit(emb, k=6, iters=3, seed=7).collect()))
+    assert a == b
+
+    q = emb.where(F.col("vec_id") < 8)
+    bf = {}
+    for r in cosine_topk(emb, q, k=5).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # full probe == exhaustive == brute force
+    full = {}
+    for r in ivf_topk(emb, q, cents, k=5, n_probe=6).collect():
+        full.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert full == bf
+    # trained index at n_probe=2 recalls most true neighbors
+    approx = {}
+    for r in ivf_topk(emb, q, cents, k=5, n_probe=2).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(approx.get(qid, set()) & bf[qid]) for qid in bf)
+    total = sum(len(s) for s in bf.values())
+    assert hits / total >= 0.5, f"recall@5 {hits}/{total}"
+
+
 def test_demo_edges_deterministic_and_clean(spark):
     e1 = demo_edges(spark, SF)
     e2 = demo_edges(spark, SF)
