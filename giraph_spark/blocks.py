@@ -156,6 +156,57 @@ def reduce_and_broadcast(
     return piece(p)
 
 
+def send_message_chain(
+    links: list[tuple[Callable[[DataFrame], Column], DataFrame, str]],
+    consume: Callable[[DataFrame], DataFrame],
+) -> Block:
+    """SendMessageChain (giraph-block-app/.../library/SendMessageChain.java:80-141):
+    a chain of message rounds where each round's *received* value feeds
+    the next round's message supplier.
+
+    Each link is ``(message_fn, edges, combiner)``: ``message_fn(vertices)``
+    returns the message Column (it may read the ``_received`` column set
+    by the previous link — the chain's threaded P value); ``edges``
+    (src, dst) are the targets (the startSendToNeighbors supplier);
+    ``combiner`` is a gather fn in {sum, min, max} (the MessageCombiner
+    of the startSend overload). A null message (the reference's "supplier
+    returned null — send nothing") simply drops that vertex's messages.
+    ``consume(vertices)`` is the endX: it sees the final ``_received``
+    column and returns the new vertex state (without ``_received``).
+    """
+    from giraph_spark.pregel import gather_messages
+
+    def link_piece(
+        message_fn: Callable[[DataFrame], Column], edges: DataFrame, combiner: str
+    ) -> Piece:
+        def p(v: DataFrame, s: int) -> tuple[DataFrame, Stats]:
+            vm = v.select(
+                F.col("id").alias("src"), message_fn(v).alias("_msg")
+            ).where(F.col("_msg").isNotNull())
+            msgs = edges.select("src", "dst").join(vm, "src").select("dst", "_msg")
+            gathered = gather_messages(msgs, [("_msg", combiner)], key="dst")
+            out = (
+                v.drop("_received")
+                .join(
+                    gathered.select(
+                        F.col("dst").alias("id"), F.col("_msg").alias("_received")
+                    ),
+                    "id",
+                    "left",
+                )
+            )
+            return out, {}
+
+        return p
+
+    def gen() -> Iterator[Piece]:
+        for message_fn, edges, combiner in links:
+            yield link_piece(message_fn, edges, combiner)
+        yield lambda v, s: (consume(v).drop("_received"), {})
+
+    return gen
+
+
 def run_block(
     spark,
     vertices: DataFrame,

@@ -74,6 +74,29 @@ def arg_max(df: DataFrame, key: str, by: str) -> DataFrame:
     )
 
 
+def matrix_reduce(
+    df: DataFrame,
+    name: str = "sum",
+    row: str = "row",
+    col: str = "col",
+    val: str = "val",
+) -> DataFrame:
+    """Matrix aggregators (``aggregators/matrix/dense/*MatrixSumAggregator
+    .java``, ``sparse/*``): the distributed reduce of per-worker (row, col,
+    val) contributions. A sparse COO DataFrame groupBy replaces both the
+    dense and sparse variants — absent cells are implicit zeros, and the
+    tree-reduce has no master bottleneck."""
+    return df.groupBy(row, col).agg(reducer(name, val).alias(val))
+
+
+def vector_reduce(
+    df: DataFrame, name: str = "sum", pos: str = "pos", val: str = "val"
+) -> DataFrame:
+    """Vector aggregators (``aggregators/matrix/dense/*VectorSumAggregator
+    .java``) — one row per coordinate."""
+    return df.groupBy(pos).agg(reducer(name, val).alias(val))
+
+
 def keyed_reduce(df: DataFrame, key: str, name: str, col: str, alias: str) -> DataFrame:
     """Sharded/huge reducers (ArrayReduce, BasicMapReduce,
     ShardedReducerHandle — e.g. the 3137-shard per-component size count in

@@ -186,3 +186,53 @@ def test_keyed_reduce(spark):
     )
     got = {r.k: r.total for r in keyed_reduce(df, "k", "sum", "v", "total").collect()}
     assert got == {1: 12.0, 2: 1.0}
+
+
+def test_send_message_chain_two_rounds(spark):
+    """SendMessageChain.java:80-141 semantics: round 1 sums values into
+    _received, round 2 forwards _received with a max combiner; a null
+    message (no received value) sends nothing."""
+    from giraph_spark.blocks import send_message_chain
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 1)], "src long, dst long"
+    ).persist()
+    v0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "id long, value double"
+    )
+    blk = send_message_chain(
+        [
+            (lambda v: F.col("value"), edges, "sum"),
+            (lambda v: F.col("_received"), edges, "max"),
+        ],
+        consume=lambda v: v.select(
+            "id", F.coalesce("_received", F.lit(-1.0)).alias("value")
+        ),
+    )
+    run = run_block(spark, v0, blk)
+    got = {r.id: r.value for r in run.vertices.collect()}
+    # round1 sums: 1<-70 (30+40), 2<-10, 3<-20, 4<-null
+    # round2 forwards received: 1<-20, 2<-70, 3<-10, 4 sends nothing
+    assert got == {1: 20.0, 2: 70.0, 3: 10.0, 4: -1.0}
+    # two links + the consume piece + run_block's end-detection step
+    assert run.supersteps == 4
+    edges.unpersist()
+
+
+def test_matrix_and_vector_reduce(spark):
+    from giraph_spark.reducers import matrix_reduce, vector_reduce
+
+    m = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 0, 2.0), (0, 1, 5.0), (2, 1, -1.0)],
+        "row long, col long, val double",
+    )
+    got = {(r.row, r.col): r.val for r in matrix_reduce(m).collect()}
+    assert got == {(0, 0): 3.0, (0, 1): 5.0, (2, 1): -1.0}
+    got_max = {(r.row, r.col): r.val for r in matrix_reduce(m, "max").collect()}
+    assert got_max[(0, 0)] == 2.0
+
+    vec = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (1, 3.5)], "pos long, val double"
+    )
+    got_v = {r.pos: r.val for r in vector_reduce(vec).collect()}
+    assert got_v == {0: 1.0, 1: 5.5}
