@@ -30,7 +30,12 @@ from giraph_spark.corpus import (
     url_mapping,
     with_extracted_text,
 )
-from giraph_spark.datasets import DEMO_EDGES_SQL, demo_edges, with_weight
+from giraph_spark.datasets import (
+    DEMO_EDGES_SQL,
+    SCC_EDGES_SQL,
+    demo_edges,
+    with_weight,
+)
 from giraph_spark.dedup import (
     SIMHASH_BITS,
     exact_duplicates,
@@ -499,12 +504,11 @@ ORDER BY size DESC, component_url ASC LIMIT 10"""
     )
 
 
-SCC_V = 512  # SCC oracle uses a subgraph: transitive closure is quadratic
-
+# SCC oracle: block-local digraph (64 disjoint 64-vertex blocks over all
+# 4096 vertices) keeps the recursive closure at sum-of-64^2 pairs while
+# the engine runs the full graph in one call
 _SCC_SQL = f"""WITH RECURSIVE
-edges AS MATERIALIZED (
-  SELECT src, dst FROM ({DEMO_EDGES_SQL}) WHERE src < {SCC_V} AND dst < {SCC_V}
-),
+edges AS MATERIALIZED ({SCC_EDGES_SQL}),
 verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
 reach(a, b) AS (
   SELECT id, id FROM verts
@@ -967,11 +971,9 @@ def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.algorithms.scc import strongly_connected_components
+    from giraph_spark.datasets import scc_demo_edges
 
-    e = demo_edges(spark, sf_dir).where(
-        (F.col("src") < SCC_V) & (F.col("dst") < SCC_V)
-    )
-    return strongly_connected_components(spark, e)
+    return strongly_connected_components(spark, scc_demo_edges(spark, sf_dir))
 
 
 def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,8 +8,10 @@ the equivalent coloring formulation (same fixpoint, better suited to
 whole-graph DataFrame supersteps than per-phase vertex state machines):
 
 repeat until no active vertices:
-  1. trim: vertices with no in- or out-edges within the active subgraph
-     form singleton SCCs (the reference's TRIMMING phase)
+  1. trim TO FIXPOINT: vertices with no in- or out-edges within the
+     active subgraph form singleton SCCs (the reference's TRIMMING phase;
+     iterated so chains/trees peel without paying a full color+backward
+     round each)
   2. color: forward max-label propagation — every active vertex learns
      the max id that reaches it (FORWARD_TRAVERSAL)
   3. backward: from each color root (id == color), propagate "member"
@@ -19,6 +21,13 @@ repeat until no active vertices:
 
 Result: (id, scc) with scc = the max vertex id inside the component
 (deterministic; the reference labels by traversal root the same way).
+
+Driver-action budget: ONE count per trim iteration / propagation step /
+peel (the count doubles as the halt check and reads the just-cut cache);
+no ``isEmpty`` probes. Superseded localCheckpoint blocks are released
+explicitly (``DataFrame.unpersist`` cannot free them); the settled set
+is itself checkpointed per round so earlier cuts never leak into the
+final result's lineage.
 """
 
 from __future__ import annotations
@@ -27,18 +36,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giraph_spark.graph import vertices_from_edges
+from giraph_spark.pregel import _checkpointed_jrdd
+
+
+class _Cuts:
+    """Per-slot localCheckpoint bookkeeping with explicit block release."""
+
+    def __init__(self) -> None:
+        self._handles: dict[str, object] = {}
+
+    def cut(self, df: DataFrame, slot: str) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        prev = self._handles.get(slot)
+        if prev is not None:
+            prev.unpersist(False)  # type: ignore[attr-defined]
+        self._handles[slot] = _checkpointed_jrdd(out)
+        return out
+
+    def forget(self, slot: str) -> None:
+        """Stop tracking (the cut's blocks outlive this run — e.g. the
+        result) without releasing them."""
+        self._handles.pop(slot, None)
 
 
 def _propagate(
-    edges: DataFrame, seeds: DataFrame, max_iters: int = 50
+    edges: DataFrame, seeds: DataFrame, cuts: _Cuts, slot: str, max_iters: int = 50
 ) -> DataFrame:
     """Max-label frontier propagation along ``edges`` from ``seeds``
     (id, lab); returns the fixpoint (id, lab) over reached vertices.
-
     One action per iteration (the frontier count doubles as the halt
-    check); lineage cut every few iterations instead of per-step
-    checkpoints — the inner loops dominate SCC wall time, so job count
-    is the budget here."""
+    check); lineage cut every few iterations."""
     neg_inf = -(1 << 62)
     state = seeds
     frontier = seeds
@@ -61,7 +88,7 @@ def _propagate(
             ).alias("_grew"),
         ).persist()
         if it % 3 == 2:
-            cut = combined.localCheckpoint(eager=True)
+            cut = cuts.cut(combined, slot)
             combined.unpersist()
             combined = cut
         grew = combined.where("_grew").count()
@@ -83,33 +110,50 @@ def strongly_connected_components(
 ) -> DataFrame:
     """(id, scc) over the directed edge table; exact for any digraph
     reachable within ``max_iters`` propagation steps per round."""
-    active_edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    active = vertices_from_edges(active_edges).localCheckpoint(eager=True)
+    cuts = _Cuts()
+    active_edges = cuts.cut(edges.select("src", "dst"), "edges")
+    active = cuts.cut(vertices_from_edges(active_edges), "active")
+    n_active = active.count()
     settled: DataFrame | None = None
 
     for _ in range(max_rounds):
-        if active.isEmpty():
+        if n_active == 0:
             break
-        # 1. trim singletons: no out-edges or no in-edges in active subgraph
-        has_out = active_edges.select(F.col("src").alias("id")).distinct()
-        has_in = active_edges.select(F.col("dst").alias("id")).distinct()
-        trivial = active.join(has_out, "id", "left_anti").union(
-            active.join(has_in, "id", "left_anti")
-        ).distinct()
-        part = trivial.select("id", F.col("id").alias("scc"))
-        settled = part if settled is None else settled.union(part)
-        active = active.join(trivial, "id", "left_anti").localCheckpoint(eager=True)
-        if active.isEmpty():
+
+        # 1. trim to fixpoint: peel vertices with no in- or out-edges in
+        # the active subgraph (each becomes its own singleton SCC)
+        while n_active > 0:
+            has_out = active_edges.select(F.col("src").alias("id")).distinct()
+            has_in = active_edges.select(F.col("dst").alias("id")).distinct()
+            trivial = active.join(has_out, "id", "left_anti").union(
+                active.join(has_in, "id", "left_anti")
+            ).distinct()
+            part = trivial.select("id", F.col("id").alias("scc"))
+            # cut settled FIRST: it must be materialized while the active
+            # cut that `part` reads is still alive (re-cutting the
+            # "active" slot below releases those blocks)
+            settled = cuts.cut(
+                part if settled is None else settled.union(part), "settled"
+            )
+            new_active = cuts.cut(active.join(trivial, "id", "left_anti"), "active")
+            n_new = new_active.count()
+            n_trimmed = n_active - n_new
+            active = new_active
+            n_active = n_new
+            if n_trimmed == 0 or n_active == 0:
+                break
+            active_edges = cuts.cut(
+                active_edges.join(
+                    active.withColumnRenamed("id", "src"), "src", "left_semi"
+                ).join(active.withColumnRenamed("id", "dst"), "dst", "left_semi"),
+                "edges",
+            )
+        if n_active == 0:
             break
-        active_edges = (
-            active_edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
-        )
 
         # 2. forward coloring: max id reaching each vertex
         seeds = active.select("id", F.col("id").alias("lab"))
-        colors = _propagate(active_edges, seeds, max_iters=max_iters)
+        colors = _propagate(active_edges, seeds, cuts, "fwd", max_iters=max_iters)
 
         # 3. backward membership within equal color: reverse edges whose two
         # endpoints share a color; propagate from roots (id == color)
@@ -120,22 +164,35 @@ def strongly_connected_components(
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         roots = colors.where(F.col("id") == F.col("lab")).select("id", "lab")
-        members = _propagate(ec, roots, max_iters=max_iters)
+        members = _propagate(ec, roots, cuts, "bwd", max_iters=max_iters)
         scc = (
             members.join(colors.withColumnRenamed("lab", "color"), "id")
             .where(F.col("lab") == F.col("color"))
             .select("id", F.col("color").alias("scc"))
-            .localCheckpoint(eager=True)
         )
-        settled = settled.union(scc)
+        settled = scc if settled is None else settled.union(scc)
+        settled = cuts.cut(settled, "settled")
 
-        # 4. peel
-        active = active.join(scc, "id", "left_anti").localCheckpoint(eager=True)
-        active_edges = (
-            active_edges.join(active.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(active.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
+        # 4. peel — ONE count on the fresh cut is both the round's halt
+        # check and next round's emptiness test
+        active = cuts.cut(
+            active.join(settled.select("id"), "id", "left_anti"), "active"
+        )
+        n_active = active.count()
+        if n_active == 0:
+            break
+        active_edges = cuts.cut(
+            active_edges.join(
+                active.withColumnRenamed("id", "src"), "src", "left_semi"
+            ).join(active.withColumnRenamed("id", "dst"), "dst", "left_semi"),
+            "edges",
         )
 
+    if n_active > 0:
+        raise RuntimeError(
+            f"strongly_connected_components: round budget exhausted with "
+            f"{n_active} vertices unsettled — raise max_rounds/max_iters"
+        )
     assert settled is not None
+    cuts.forget("settled")  # the result — its blocks must outlive this call
     return settled

@@ -30,6 +30,36 @@ FROM lineitem
 WHERE (l_orderkey % {V_DEMO}) <> ((l_partkey * 131 + l_suppkey * 7) % {V_DEMO})
 """.strip()
 
+# SCC oracle graph: the same 4096 vertices partitioned into 64 disjoint
+# 64-vertex blocks with edges kept block-local, so a recursive-CTE
+# transitive closure stays bounded (sum of 64^2 per block) while the
+# Spark side still runs one 4096-vertex digraph end-to-end
+SCC_BLOCK = 64
+
+SCC_EDGES_SQL = f"""
+SELECT DISTINCT src, (src - src % {SCC_BLOCK}) + dmod AS dst FROM (
+  SELECT (l_orderkey % {V_DEMO}) AS src,
+         ((l_partkey * 131 + l_suppkey * 7) % {SCC_BLOCK}) AS dmod
+  FROM lineitem
+) WHERE src <> (src - src % {SCC_BLOCK}) + dmod
+""".strip()
+
+
+def scc_demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-local digraph (matches SCC_EDGES_SQL verbatim)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = (F.col("l_orderkey") % V_DEMO).cast("long")
+    dmod = ((F.col("l_partkey") * 131 + F.col("l_suppkey") * 7) % SCC_BLOCK).cast(
+        "long"
+    )
+    dst = src - src % SCC_BLOCK + dmod
+    return (
+        li.select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 # deterministic per-edge weight in [1, 3] — a pure function of (src, dst);
 # the small range bounds the edge count of weighted shortest paths, which
 # keeps the Bellman-Ford oracle's unroll depth small
