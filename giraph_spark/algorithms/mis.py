@@ -57,14 +57,18 @@ def maximal_independent_set(
     """(id, in_set: boolean) — a maximal independent set of the
     undirected graph: no two set members are adjacent, every non-member
     has a set neighbor."""
+    from giraph_spark.algorithms.scc import _Cuts
+
+    cuts = _Cuts()
     e = symmetrize(edges) if symmetrize_input else edges.select("src", "dst")
     e = e.localCheckpoint(eager=True)
-    undecided = vertices_from_edges(e).localCheckpoint(eager=True)
+    undecided = cuts.cut(vertices_from_edges(e), "undecided")
+    n_undecided = undecided.count()
     in_set: DataFrame | None = None
 
     exhausted = True
     for rnd in range(max_rounds):
-        if undecided.isEmpty():
+        if n_undecided == 0:
             exhausted = False
             break
         prio = undecided.select("id", luby_priority(F.col("id"), rnd).alias("p"))
@@ -82,29 +86,36 @@ def maximal_independent_set(
             .select(F.col("src").alias("id"))
             .distinct()
         )
-        winners = undecided.join(beaten, "id", "left_anti").localCheckpoint(eager=True)
+        # prior winners are already folded into the in_set cut, so the
+        # winners slot is safe to recycle first
+        winners = cuts.cut(undecided.join(beaten, "id", "left_anti"), "winners")
         part = winners.select("id")
-        in_set = part if in_set is None else in_set.union(part)
+        in_set = cuts.cut(
+            part if in_set is None else in_set.union(part), "in_set"
+        )
         # winners and their neighbors become decided
         nbrs = (
             e.join(winners.withColumnRenamed("id", "src"), "src", "left_semi")
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        undecided = (
-            undecided.join(winners, "id", "left_anti")
-            .join(nbrs, "id", "left_anti")
-            .localCheckpoint(eager=True)
+        undecided = cuts.cut(
+            undecided.join(winners, "id", "left_anti").join(nbrs, "id", "left_anti"),
+            "undecided",
         )
+        n_undecided = undecided.count()
 
-    if exhausted and not undecided.isEmpty():
+    if exhausted and n_undecided > 0:
         raise RuntimeError(
             "maximal_independent_set: round budget exhausted with "
-            f"{undecided.count()} vertices still undecided — result would "
+            f"{n_undecided} vertices still undecided — result would "
             "violate maximality; raise max_rounds"
         )
     verts = vertices_from_edges(e)
     assert in_set is not None
+    cuts.release("winners")
+    cuts.release("undecided")
+    cuts.forget("in_set")  # backs the returned DataFrame
     return verts.join(
         in_set.withColumn("in_set", F.lit(True)), "id", "left"
     ).select("id", F.coalesce("in_set", F.lit(False)).alias("in_set"))

@@ -58,6 +58,12 @@ class _Cuts:
         result) without releasing them."""
         self._handles.pop(slot, None)
 
+    def release(self, slot: str) -> None:
+        """Free a slot's blocks now (nothing downstream reads them)."""
+        prev = self._handles.pop(slot, None)
+        if prev is not None:
+            prev.unpersist(False)  # type: ignore[attr-defined]
+
 
 def _propagate(
     edges: DataFrame, seeds: DataFrame, cuts: _Cuts, slot: str, max_iters: int = 50
