@@ -298,6 +298,48 @@ def _minlabel_sql(iters: int, edge_table: str, agg: str, out_col: str) -> str:
     )
 
 
+def _rw_pagerank_sql(iters: int, teleport: float = 0.15) -> str:
+    """Random-walk normalized PageRank: p' = ((1-t)*(msgs + D/N) + t/N)/C
+    with one-superstep-lag cumulative aggregators (RandomWalkComputation
+    .java:115-155)."""
+    t = teleport
+    parts = [
+        _GRAPH,
+        "deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src)",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nv) AS p FROM verts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""s{k} AS MATERIALIZED (
+  SELECT sum(r.p) AS c,
+         coalesce(sum(CASE WHEN d.src IS NULL THEN r.p END), 0.0) AS dang
+  FROM r{k} r LEFT JOIN deg d ON d.src = r.id
+)"""
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(r.p / d.outdeg) AS msg
+  FROM edges e JOIN r{k} r ON r.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         ({1.0 - t} * (coalesce(m.msg, 0.0)
+              + (SELECT dang FROM s{k}) / (SELECT n FROM nv))
+          + {t} / (SELECT n FROM nv)) / (SELECT c FROM s{k}) AS p
+  FROM r{k} v LEFT JOIN m{k} m ON m.id = v.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(p, 9) AS rank FROM r{iters}"
+    )
+
+
 def _kmeans_assign_sql(k: int, iters: int, seed: int) -> str:
     """Replay kmeans_fit + final ivf_assign: deterministic init (portable
     priority), per-iteration argmax on 6dp-rounded cosine with centroid-id
@@ -773,6 +815,26 @@ def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices.select("id", F.round("rank", 7).alias("rank"))
 
 
+def q_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same PageRank through the two-level salted gather (salt=8) — the
+    hub-skew path the north rule names; must be value-identical."""
+    run = pagerank(
+        spark, demo_edges(spark, sf_dir), max_supersteps=5, salt=8,
+        num_partitions=NP,
+    )
+    return run.vertices.select("id", F.round("rank", 7).alias("rank"))
+
+
+def q_pagerank_randomwalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.algorithms.pagerank import pagerank_random_walk
+
+    run = pagerank_random_walk(
+        spark, demo_edges(spark, sf_dir), teleport=0.15, max_supersteps=8,
+        num_partitions=NP,
+    )
+    return run.vertices.select("id", F.round("rank", 9).alias("rank"))
+
+
 def q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = pagerank(
         spark, with_weight(demo_edges(spark, sf_dir)), max_supersteps=4,
@@ -1112,6 +1174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": q_pagerank,
         "pagerank_bucketed": q_pagerank_bucketed,
+        "pagerank_salted": q_pagerank_salted,
+        "pagerank_randomwalk": q_pagerank_randomwalk,
         "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
         "lpa": q_lpa,
@@ -1155,6 +1219,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(5),
         "pagerank_bucketed": _pagerank_sql(5),
+        "pagerank_salted": _pagerank_sql(5),
+        "pagerank_randomwalk": _rw_pagerank_sql(8),
         "pagerank_weighted": _pagerank_weighted_sql(4),
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
         "lpa": _lpa_sql(3),

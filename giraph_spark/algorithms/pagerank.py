@@ -187,3 +187,109 @@ def pagerank(
         converged=run.converged,
         history=run.history,
     )
+
+
+def pagerank_random_walk(
+    spark: SparkSession,
+    edges: DataFrame,
+    teleport: float = 0.15,
+    max_supersteps: int = 30,
+    tolerance: float | None = None,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Random-walk normalized PageRank — the probability-distribution
+    variant (``giraph-examples/.../RandomWalkComputation.java:115-155`` with
+    ``PageRankComputation.java:33-56``): init 1/N; per superstep
+
+        p' = [ (1-t)*(sum(msgs) + D_prev/N) + t/N ] / C_prev
+
+    where ``D_prev`` = cumulative probability of dangling vertices and
+    ``C_prev`` = cumulative probability of ALL vertices from the previous
+    superstep (the one-superstep-lag aggregators
+    CUMULATIVE_DANGLING_PROBABILITY / CUMULATIVE_PROBABILITY); the
+    division is the reference's "rescale for numerical stability"
+    (:126-129). Convergence = aggregated L1 of |p' - p| vs ``tolerance``.
+    Ranks sum to 1 (vs the mass-N convention of ``pagerank``).
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    deg = out_degrees(edges)
+    e = (
+        edges.select("src", "dst")
+        .join(deg, "src")
+        .withColumn("weight", F.lit(1.0) / F.col("out_degree").cast("double"))
+        .drop("out_degree")
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    verts = vertices_from_edges(edges)
+    sinks = verts.join(
+        edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+    )
+    n_vertices = verts.count()
+    if n_vertices == 0:
+        empty = verts.select("id", F.lit(0.0).alias("rank"))
+        return PregelRun(vertices=empty, supersteps=0, converged=True)
+    state = (
+        verts.join(sinks.withColumn("is_sink", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.lit(1.0 / n_vertices).alias("rank"),
+            F.coalesce("is_sink", F.lit(False)).alias("is_sink"),
+        )
+        .repartition(num_partitions, "id")
+    )
+    t = float(teleport)
+    # one-superstep-lag aggregators over the initial distribution
+    box = {"cum": 1.0, "dangling": None}
+
+    def step(vertices: DataFrame, superstep: int):
+        if box["dangling"] is None:
+            r0 = vertices.agg(
+                F.sum("rank").alias("c"),
+                F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(0.0)).alias("d"),
+            ).collect()[0]
+            box["cum"], box["dangling"] = float(r0["c"]), float(r0["d"] or 0.0)
+        cum, dang = box["cum"], box["dangling"]
+
+        msgs = e.join(
+            vertices.select(F.col("id").alias("src"), "rank"), "src"
+        ).select("dst", (F.col("rank") * F.col("weight")).alias("msg"))
+        gathered = gather_messages(msgs, [("msg", "sum")], key="dst")
+        base = (1.0 - t) * dang / n_vertices + t / n_vertices
+        raw = (
+            F.lit(1.0 - t) * F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(base)
+        ) / F.lit(cum)
+        new_state = (
+            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                raw.alias("rank"),
+                "is_sink",
+                (raw - F.col("rank")).alias("_delta"),
+            )
+            .persist()
+        )
+        row = new_state.agg(
+            F.sum("rank").alias("c"),
+            F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(0.0)).alias("d"),
+            F.sum(F.abs("_delta")).alias("l1"),
+        ).collect()[0]
+        box["cum"], box["dangling"] = float(row["c"]), float(row["d"] or 0.0)
+        return new_state, {"cum": box["cum"], "l1": float(row["l1"])}
+
+    halt = None
+    if tolerance is not None:
+        halt = lambda stats, i: stats["l1"] < tolerance  # noqa: E731
+    run = run_supersteps(
+        spark, state, step, max_supersteps=max_supersteps, halt=halt,
+        verbose=verbose,
+    )
+    e.unpersist()
+    return PregelRun(
+        vertices=run.vertices.select("id", "rank"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )

@@ -43,15 +43,18 @@ def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     n: int = 1,
-    max_df: int | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by n-gram Jaccard similarity.
 
     (doc_a, doc_b, jaccard) with doc_a < doc_b and jaccard >= threshold,
-    via an inverted-index join on shared shingles. ``max_df`` (scale
-    path) drops shingles occurring in more than max_df documents —
-    ubiquitous shingles contribute quadratic join fan-out but little
-    similarity signal.
+    via an inverted-index join on shared shingles. The self-join cost is
+    sum over shingles of df(shingle)^2, so one ubiquitous shingle is a
+    quadratic blow-up at corpus scale: ``max_df`` drops shingles occurring
+    in more than that many documents (they carry little similarity signal;
+    the jaccard is then computed over the surviving shingle sets).
+    Defaults to 1000 — pass ``max_df=None`` explicitly to accept the
+    exact-but-unbounded join on small corpora.
     """
     if n == 1:
         sh = tokenize(docs).select("doc_id", F.col("token").alias("shingle")).distinct()

@@ -16,15 +16,16 @@ Protocol (BASELINE.md §3):
   codegen warm-up (C2 compilation of the generated superstep pipeline)
   and are excluded, exactly as a long-running production job amortizes
   them; total wall including warm-up is also reported;
-- per level, the median steady-state per-superstep time over the
-  measured supersteps (the job is deterministic; per-superstep samples
-  replace whole-job repeats).
+- per level, REPEATED whole-job runs (fresh JVM each): the reported
+  per-superstep time is the median across repeats of the within-run
+  median steady-state superstep — the north-rule gate is judged on this
+  median-of-repeats, not a best-of.
 
-Usage: python tools/bench_scaling.py [n_vertices] [measured] [levels]
+Usage: python tools/bench_scaling.py [n_vertices] [measured] [levels] [repeats]
 ``levels`` = comma list of core counts (default "2,8,32"); efficiency is
-computed between the first pair spaced 4x. Set GIRAPH_SCALING_REUSE=1 to
-reuse an already-materialized edge table. Writes BENCH/BASELINE.md and
-prints one JSON line.
+computed between each pair spaced 4x; ``repeats`` defaults to 3. Set
+GIRAPH_SCALING_REUSE=1 to reuse an already-materialized edge table.
+Writes BENCH/BASELINE.md and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -108,6 +109,7 @@ def main() -> None:
     levels = tuple(
         int(x) for x in (sys.argv[3] if len(sys.argv) > 3 else "2,8,32").split(",")
     )
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     if os.environ.get("GIRAPH_SCALING_REUSE") == "1" and os.path.exists(EDGES_PATH):
         spark = get_spark(app_name="scaling-count", cores=8)
         spark.sparkContext.setLogLevel("ERROR")
@@ -115,7 +117,31 @@ def main() -> None:
         spark.stop()
     else:
         n_edges, gen_secs = materialize(n_vertices)
-    results = [run_level_isolated(c, measured) for c in levels]
+
+    # interleave levels across repeats so slow drift in box load hits
+    # every level equally, then take the median PER LEVEL across repeats
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
+    for _ in range(repeats):
+        for c in levels:
+            runs[c].append(run_level_isolated(c, measured))
+    results = []
+    for c in levels:
+        meds = [r["superstep_median_sec"] for r in runs[c]]
+        med = statistics.median(meds)
+        results.append(
+            {
+                "cores": c,
+                "repeat_medians_sec": meds,
+                "superstep_samples_sec": [
+                    r["superstep_samples_sec"] for r in runs[c]
+                ],
+                "superstep_median_sec": round(med, 2),
+                "steady_median_sec": round(med * measured, 2),
+                "total_sec": round(
+                    statistics.median([r["total_sec"] for r in runs[c]]), 2
+                ),
+            }
+        )
 
     by_cores = {r["cores"]: r["steady_median_sec"] for r in results}
     pairs = [(n, 4 * n) for n in levels if 4 * n in by_cores]
@@ -154,17 +180,18 @@ def main() -> None:
         f"edge table ({n_vertices:,} vertices, {n_edges:,} edges, mega-hub",
         f"skew), identical {SHUFFLE_PARTITIONS}-partition physical plan; only",
         "the core count varies (local[8] vs local[32] = the sandbox analog",
-        "of N vs 4N executors). Reported: median steady-state superstep",
-        f"time (first {WARMUP} supersteps = JIT/cache warm-up, excluded;",
-        "totals including warm-up shown for reference).",
+        "of N vs 4N executors). Reported: MEDIAN ACROSS REPEATS (fresh JVM",
+        "each, levels interleaved) of the within-run median steady-state",
+        f"superstep time (first {WARMUP} supersteps = JIT/cache warm-up,",
+        "excluded; totals including warm-up shown for reference).",
         "",
-        "| cores | superstep samples (s) | median/superstep (s) | total (s) | supersteps/hour | edges/sec |",
+        "| cores | per-repeat medians (s) | median/superstep (s) | total (s) | supersteps/hour | edges/sec |",
         "|---|---|---|---|---|---|",
     ]
     for r in results:
         c = str(r["cores"])
         lines.append(
-            f"| local[{c}] | {r['superstep_samples_sec']} | {r['superstep_median_sec']} | "
+            f"| local[{c}] | {r['repeat_medians_sec']} | {r['superstep_median_sec']} | "
             f"{r['total_sec']} | {su[c]} | {ed[c]} |"
         )
     lines += [
