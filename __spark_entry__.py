@@ -987,6 +987,18 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, centroids)
 
 
+def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph coarsening: collapse the demo graph into 64 clusters
+    (cluster = id % 64); coarsened edge weight = original edge count."""
+    from giraph_spark.graph import coarsen_graph, vertices_from_edges
+
+    e = demo_edges(spark, sf_dir)
+    verts = vertices_from_edges(e)
+    mapping = verts.select("id", (F.col("id") % 64).alias("cluster"))
+    _, ce = coarsen_graph(verts, e, mapping, value_col=None)
+    return ce
+
+
 def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-IVF assignment: k-means centroids (portable init, 4 rounds)
     then cell assignment — the real ANN index build."""
@@ -1201,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
         "kmeans_ivf": q_kmeans_ivf,
+        "coarsen": q_coarsen,
         "sessionize": q_sessionize,
         "event_rollup": q_event_rollup,
         "scc": q_scc,
@@ -1291,6 +1304,9 @@ SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "ann_topk": _ANN_SQL,
         "ivf_assign": _IVF_SQL,
         "kmeans_ivf": _kmeans_assign_sql(8, 4, 7),
+        "coarsen": f"""WITH {_GRAPH}
+SELECT (src % 64) AS src, (dst % 64) AS dst, count(*)::BIGINT AS weight
+FROM edges GROUP BY (src % 64), (dst % 64)""",
         "sessionize": _SESSION_SQL,
         "event_rollup": _ROLLUP_SQL,
         "scc": _SCC_SQL,

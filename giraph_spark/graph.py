@@ -108,3 +108,61 @@ def is_symmetric(edges: DataFrame) -> bool:
     distributed)."""
     base = edges.select("src", "dst")
     return base.exceptAll(reverse_edges(base).select("src", "dst")).isEmpty()
+
+
+def coarsen_graph(
+    vertices: DataFrame,
+    edges: DataFrame,
+    mapping: DataFrame,
+    value_col: str | None = "value",
+    weight_col: str | None = None,
+    vertex_agg: str = "sum",
+    edge_agg: str = "sum",
+    keep_self_loops: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Graph coarsening (``giraph-block-app-8/.../coarsening/
+    CoarseningUtils.java:66-96`` with the semantics pinned by
+    ``TestCoarseningUtils.java:83-124``): collapse each cluster of
+    original vertices into one coarsened vertex.
+
+    ``mapping`` is (id, cluster). Coarsened vertex value = ``vertex_agg``
+    over member values (the vertexInfoCombiner); coarsened edge value =
+    ``edge_agg`` over original edges between the two clusters (the
+    edgeCoarseningCombiner; with ``weight_col=None`` each edge counts 1).
+    Cluster-internal edges become self-loops (kept by the reference —
+    drop with ``keep_self_loops=False``). The original graph is NOT
+    consumed, matching "old graph is not deleted".
+
+    Returns ``(cvertices(cluster[, value]), cedges(src, dst[, weight]))``.
+    """
+    from giraph_spark.reducers import reducer
+
+    m = mapping.select("id", "cluster")
+    if value_col is not None:
+        cverts = (
+            vertices.join(m, "id")
+            .groupBy("cluster")
+            .agg(reducer(vertex_agg, value_col).alias(value_col))
+        )
+    else:
+        cverts = vertices.join(m, "id").select("cluster").distinct()
+
+    e = edges.join(m.withColumnRenamed("id", "src"), "src").withColumnRenamed(
+        "cluster", "_csrc"
+    )
+    e = e.join(
+        m.select(F.col("id").alias("dst"), F.col("cluster").alias("_cdst")), "dst"
+    )
+    if not keep_self_loops:
+        e = e.where(F.col("_csrc") != F.col("_cdst"))
+    val = (
+        reducer(edge_agg, weight_col)
+        if weight_col is not None
+        else F.count(F.lit(1)).cast("long")
+    )
+    out_col = weight_col or "weight"
+    cedges = (
+        e.groupBy(F.col("_csrc").alias("src"), F.col("_cdst").alias("dst"))
+        .agg(val.alias(out_col))
+    )
+    return cverts, cedges

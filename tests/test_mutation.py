@@ -145,3 +145,32 @@ def test_mutable_superstep_loop_dynamic_bfs(spark):
     )
     rows = {r.id: r.hops for r in run.vertices.collect()}
     assert rows == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_coarsen_graph_reference_fixture(spark):
+    """TestCoarseningUtils.testSmallGraph: 7 vertices (values all 1),
+    clusters (0,1)->-1, (2,3)->-2, (4,5)->-4, 6->-6; symmetric edges."""
+    from giraph_spark.graph import coarsen_graph
+
+    und = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (3, 5), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i, 1) for i in range(7)], "id long, value long")
+    cl = {0: -1, 1: -1, 2: -2, 3: -2, 4: -4, 5: -4, 6: -6}
+    mapping = spark.createDataFrame(list(cl.items()), "id long, cluster long")
+
+    cv, ce = coarsen_graph(verts, edges, mapping)
+    vals = {r.cluster: r.value for r in cv.collect()}
+    assert vals == {-1: 2, -2: 2, -4: 2, -6: 1}
+    em = {(r.src, r.dst): r.weight for r in ce.collect()}
+    # self-loops from internal edges (both directions), combined values
+    assert em[(-1, -1)] == 2 and em[(-2, -2)] == 2 and em[(-4, -4)] == 2
+    assert em[(-1, -2)] == 2 and em[(-2, -1)] == 2
+    assert em[(-2, -4)] == 2 and em[(-4, -2)] == 2
+    assert (-6, -6) not in em  # isolated cluster: vertex exists, no edges
+    assert len(em) == 7
+
+    # drop self loops variant
+    _, ce2 = coarsen_graph(verts, edges, mapping, keep_self_loops=False)
+    assert all(r.src != r.dst for r in ce2.collect())
