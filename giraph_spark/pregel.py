@@ -93,6 +93,29 @@ def gather_messages(
     return level1.groupBy(key).agg(*[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs])
 
 
+def scatter_messages(
+    edges: DataFrame,
+    vertices: DataFrame,
+    message,
+    edge_filter=None,
+) -> DataFrame:
+    """The send-side API family (graph/Computation.java): ``sendMessage``
+    / ``sendMessageToAllEdges`` / ``sendMessageToMultipleEdges``.
+
+    ``message`` is a Column over the vertex frame; ``edge_filter`` (a
+    boolean Column over the edge frame) restricts which out-edges carry
+    it — the multiple-edges variant; None sends to all out-edges.
+    Vertices whose message is null send nothing (the reference's
+    null-supplier contract). Returns (dst, msg) rows for
+    ``gather_messages``.
+    """
+    vm = vertices.select(F.col("id").alias("src"), message.alias("msg")).where(
+        F.col("msg").isNotNull()
+    )
+    e = edges if edge_filter is None else edges.where(edge_filter)
+    return e.select("src", "dst").join(vm, "src").select("dst", "msg")
+
+
 def _checkpointed_jrdd(df: DataFrame):
     """Best-effort handle to the java RDD backing a localCheckpoint'ed
     DataFrame (LogicalRDD.rdd), for explicit release — there is no public

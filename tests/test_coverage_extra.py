@@ -1,0 +1,98 @@
+"""Coverage for the previously implemented-but-untested surface:
+graph-prep variants, overwrite/append reducers, If/Filtering blocks,
+and the sendMessageToMultipleEdges scatter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from giraph_spark.blocks import (
+    filtering,
+    for_all_vertices,
+    if_block,
+    run_block,
+    sequence,
+)
+from giraph_spark.graph import (
+    is_symmetric,
+    remove_standalone_vertices,
+    symmetrize,
+    symmetrize_weighted,
+)
+from giraph_spark.pregel import gather_messages, scatter_messages
+from giraph_spark.reducers import reducer
+
+
+def test_symmetrize_weighted_keeps_max(spark):
+    e = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 1, 9.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    got = {(r.src, r.dst): r.weight for r in symmetrize_weighted(e).collect()}
+    # symmetric closure, max weight per direction pair
+    assert got == {(1, 2): 9.0, (2, 1): 9.0, (2, 3): 1.0, (3, 2): 1.0}
+
+
+def test_remove_standalone_vertices(spark):
+    v = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    e = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    kept = sorted(r.id for r in remove_standalone_vertices(v, e).collect())
+    assert kept == [0, 1, 2]
+
+
+def test_is_symmetric(spark):
+    asym = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert not is_symmetric(asym)
+    assert is_symmetric(symmetrize(asym))
+
+
+def test_overwrite_and_append_reducers(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    row = df.agg(
+        reducer("overwrite", "k").alias("ow"),
+        reducer("append", "s").alias("ap"),
+    ).collect()[0]
+    assert row["ow"] == 1 and row["ap"] == "a"
+    multi = spark.createDataFrame([(1, "x"), (1, "y")], "k long, s string")
+    row = multi.agg(reducer("append", "s").alias("ap")).collect()[0]
+    assert sorted(row["ap"]) == ["x", "y"]  # concat of both, any order
+
+
+def test_if_block_branches(spark):
+    v0 = spark.createDataFrame([(1, 0)], "id long, x long")
+    inc = for_all_vertices(lambda df: df.withColumn("x", F.col("x") + 1))
+    dec = for_all_vertices(lambda df: df.withColumn("x", F.col("x") - 1))
+    run = run_block(spark, v0, sequence(if_block(lambda: True, inc, dec)))
+    assert run.vertices.collect()[0].x == 1
+    run = run_block(spark, v0, sequence(if_block(lambda: False, inc, dec)))
+    assert run.vertices.collect()[0].x == -1
+    run = run_block(spark, v0, sequence(if_block(lambda: False, inc)))
+    assert run.vertices.collect()[0].x == 0  # no else -> pass-through
+
+
+def test_filtering_block(spark):
+    v0 = spark.createDataFrame([(i, 0) for i in range(6)], "id long, x long")
+    inc = for_all_vertices(lambda df: df.withColumn("x", F.col("x") + 10))
+    run = run_block(spark, v0, filtering(F.col("id") < 3, inc))
+    got = {r.id: r.x for r in run.vertices.collect()}
+    assert got == {0: 10, 1: 10, 2: 10, 3: 0, 4: 0, 5: 0}
+
+
+def test_scatter_to_multiple_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (1, 3, 9.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    verts = spark.createDataFrame(
+        [(1, 5.0), (2, 7.0), (3, None)], "id long, value double"
+    )
+    # sendMessageToMultipleEdges: only along heavy edges
+    msgs = scatter_messages(edges, verts, F.col("value"), F.col("weight") > 2.0)
+    assert [(r.dst, r.msg) for r in msgs.collect()] == [(3, 5.0)]
+    # sendMessageToAllEdges + null supplier sends nothing (vertex 3)
+    all_msgs = scatter_messages(edges, verts, F.col("value"))
+    got = sorted((r.dst, r.msg) for r in all_msgs.collect())
+    assert got == [(2, 5.0), (3, 5.0), (3, 7.0)]
+    gathered = {
+        r.dst: r.msg
+        for r in gather_messages(all_msgs, [("msg", "sum")], key="dst").collect()
+    }
+    assert gathered == {2: 5.0, 3: 12.0}
