@@ -38,7 +38,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giraph_spark.checkpoint import CheckpointManager
@@ -91,6 +91,50 @@ def gather_messages(
         *[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs]
     )
     return level1.groupBy(key).agg(*[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs])
+
+
+def gather_topk_messages(
+    messages: DataFrame,
+    k: int,
+    key: str = "dst",
+    msg_col: str = "msg",
+    ascending: bool = False,
+    salt: int | None = None,
+) -> DataFrame:
+    """Per-target top-k of incoming messages — the per-vertex TopNReduce
+    gather (reference analog: sharded reducers feeding TopNReduce,
+    ``reducers/collect/ShardedReducerHandle.java``).
+
+    Unlike the algebraic gathers in :func:`gather_messages`, a top-k over
+    ``collect_list`` is NOT reduced by map-side partial aggregation — the
+    hot key's messages all land on one reducer. ``salt=S`` makes the
+    merge two-level: per (key, salt) bucket take a local top-k (bounding
+    any reducer's input to fan-in/S), then merge the S bounded lists.
+    Bounded top-k merge is associative, so the result is exactly the
+    unsalted one. Returns (key, topk: array<msg type>).
+    """
+    order_desc = not ascending
+
+    def topk_of(col: Column) -> Column:
+        arr = F.array_sort(col)
+        if order_desc:
+            arr = F.reverse(arr)
+        return F.slice(arr, 1, k)
+
+    if not salt or salt <= 1:
+        return messages.groupBy(key).agg(
+            topk_of(F.collect_list(msg_col)).alias("topk")
+        )
+    salted = messages.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in messages.columns]), F.lit(salt)),
+    )
+    level1 = salted.groupBy(key, "_salt").agg(
+        topk_of(F.collect_list(msg_col)).alias("_t")
+    )
+    return level1.groupBy(key).agg(
+        topk_of(F.flatten(F.collect_list("_t"))).alias("topk")
+    )
 
 
 def scatter_messages(

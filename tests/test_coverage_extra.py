@@ -96,3 +96,27 @@ def test_scatter_to_multiple_edges(spark):
         for r in gather_messages(all_msgs, [("msg", "sum")], key="dst").collect()
     }
     assert gathered == {2: 5.0, 3: 12.0}
+
+
+def test_gather_topk_messages_salted_equivalent(spark):
+    import random
+
+    from giraph_spark.pregel import gather_topk_messages
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(5), float(rng.randrange(100))) for _ in range(400)]
+    msgs = spark.createDataFrame(rows, "dst long, msg double")
+    plain = {r.dst: list(r.topk) for r in gather_topk_messages(msgs, 4).collect()}
+    salted = {
+        r.dst: list(r.topk)
+        for r in gather_topk_messages(msgs, 4, salt=8).collect()
+    }
+    assert plain == salted
+    # oracle
+    want: dict[int, list[float]] = {}
+    for d, m in rows:
+        want.setdefault(d, []).append(m)
+    want = {d: sorted(v, reverse=True)[:4] for d, v in want.items()}
+    assert plain == want
+    asc = {r.dst: list(r.topk) for r in gather_topk_messages(msgs, 4, ascending=True, salt=4).collect()}
+    assert asc == {d: sorted(v)[:4] for d, v in {k: [m for dd, m in rows if dd == k] for k in want}.items()}
