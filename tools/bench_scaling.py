@@ -207,8 +207,19 @@ def main() -> None:
         "",
         f"Input generation (one-time, excluded): {gen_secs:.0f}s on local[32].",
     ]
+    # Preserve sections other tools appended (e.g. bench_salting's
+    # "## Hub-skew salting") — only replace the scaling preamble.
+    tail = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            tail = old[idx:]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
 
 
 if __name__ == "__main__":
