@@ -197,3 +197,69 @@ def write_graphviz(
     body.coalesce(1).sortWithinPartitions("rk").select("line").write.mode(mode).text(
         path
     )
+
+
+def apply_input_filters(
+    df: DataFrame,
+    *filters,
+):
+    """Drop records at load time — the reference's input-filter hook
+    (``io/filters/EdgeInputFilter.java`` / ``VertexInputFilter.java``:
+    a per-record ``dropEdge/dropVertex`` predicate consulted while
+    splits are read).
+
+    ``filters`` are Column predicates meaning KEEP (the inverse of the
+    reference's drop-convention, which is the natural Spark phrasing);
+    they are ANDed and applied as one ``where`` so Catalyst pushes the
+    conjunction into the scan (parquet row-group / text split pruning)
+    instead of materializing unfiltered rows.
+    """
+    for f in filters:
+        df = df.where(f)
+    return df
+
+
+def read_multi_edges(
+    spark: SparkSession,
+    sources,
+    edge_filter=None,
+) -> DataFrame:
+    """Union several edge inputs of possibly different formats into one
+    edge DataFrame — the reference's multi-input machinery
+    (``io/formats/multi/MultiEdgeInputFormat.java``: each sub-input keeps
+    its own format/path, records merge into one graph).
+
+    ``sources`` is an iterable of either ready DataFrames or callables
+    ``spark -> DataFrame`` (so formats mix freely:
+    ``read_edge_list(...)``, parquet scans, ``read_json_vertices``
+    edges). Columns are aligned by name (missing ``weight`` filled with
+    null) and the optional keep-filter is applied per-source BEFORE the
+    union so pushdown happens per input format.
+    """
+    dfs = []
+    for s in sources:
+        df = s(spark) if callable(s) else s
+        if edge_filter is not None:
+            df = df.where(edge_filter)
+        dfs.append(df)
+    if not dfs:
+        raise ValueError("read_multi_edges needs at least one source")
+    cols = set()
+    for df in dfs:
+        cols.update(df.columns)
+    ordered = [c for c in ("src", "dst", "weight") if c in cols] + sorted(
+        c for c in cols if c not in ("src", "dst", "weight")
+    )
+    aligned = [
+        df.select(
+            *[
+                (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                for c in ordered
+            ]
+        )
+        for df in dfs
+    ]
+    out = aligned[0]
+    for df in aligned[1:]:
+        out = out.unionByName(df)
+    return out

@@ -102,6 +102,115 @@ def incremental_edge_sink(
     return writer.start()
 
 
+def stateful_first_seen(
+    pages: DataFrame,
+    key_col: str = "url",
+    ttl_minutes: int | None = None,
+) -> DataFrame:
+    """Exactly-once *first-seen* filter over a keyed page stream: emit each
+    key the first micro-batch it appears in, drop every later re-crawl.
+
+    The custom stateful operator the batch engine cannot express as a
+    windowed aggregate: per-key boolean state via
+    ``applyInPandasWithState`` (Arrow-batched; state is one tiny row per
+    key, optionally expired after ``ttl_minutes`` of processing time so
+    the state store is bounded on an unbounded crawl).
+
+    Reference analog: none (Giraph has no streaming — SURVEY.md §2.7);
+    semantics follow the reference's duplicate-vertex resolution idea
+    (first writer wins, graph/DefaultVertexResolver.java:48-70) applied
+    to a stream.
+
+    ``ttl_minutes`` is for long-running processing-time-triggered
+    deployments only: timers never fire under ``availableNow`` (the
+    drain trigger keeps scheduling no-data batches waiting for them),
+    so tests and catch-up drains must use the default ``None``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "key string, warc_ts timestamp, n_dropped long"
+    state_schema = "seen boolean"
+
+    def dedup(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if ttl_minutes is not None and state.hasTimedOut:
+            # key idle past the TTL: forget it (bounded state store);
+            # the next crawl of this key counts as first-seen again.
+            state.remove()
+            return iter(())
+        first_row = None
+        dropped = 0
+        for pdf in pdf_iter:
+            if not state.exists and first_row is None and len(pdf):
+                first_row = pdf.iloc[0]
+                dropped += len(pdf) - 1
+            else:
+                dropped += len(pdf)
+        seen_before = state.exists
+        state.update((True,))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        if seen_before or first_row is None:
+            return iter(())
+        return iter(
+            [
+                pd.DataFrame(
+                    {
+                        "key": [key[0]],
+                        "warc_ts": [first_row["warc_ts"]],
+                        "n_dropped": [dropped],
+                    }
+                )
+            ]
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        pages.select(F.col(key_col).cast("string").alias("key"), "warc_ts")
+        .groupBy("key")
+        .applyInPandasWithState(dedup, out_schema, state_schema, "append", timeout)
+    )
+
+
+def running_degree_totals(edges: DataFrame) -> DataFrame:
+    """Cumulative in-degree per target across the whole stream so far —
+    an unbounded running aggregate (no window), kept as one counter per
+    vertex in the state store and emitted once per micro-batch in which
+    the vertex receives edges. The streaming twin of
+    ``graph.in_degrees`` when totals-to-date (not per-window counts)
+    are wanted."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "dst long, in_degree_total long"
+    state_schema = "total long"
+
+    def acc(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        batch = sum(len(pdf) for pdf in pdf_iter)
+        total = (state.get[0] if state.exists else 0) + batch
+        state.update((total,))
+        if batch == 0:
+            return iter(())
+        return iter(
+            [pd.DataFrame({"dst": [key[0]], "in_degree_total": [total]})]
+        )
+
+    return (
+        edges.select("dst")
+        .groupBy("dst")
+        .applyInPandasWithState(
+            acc, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ):

@@ -104,3 +104,49 @@ def test_write_graphviz(spark, tmp_path):
     assert lines[0] == "digraph g {" and lines[-1] == "}"
     assert '"1" [label="<id> 1|0.5",shape=record,fillcolor="blue:orange"];' in lines
     assert "1:id -> 2:id [label=2.0 ];" in lines
+
+
+def test_input_filters_and_multi_input(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from giraph_spark.io_formats import (
+        apply_input_filters,
+        read_edge_list,
+        read_multi_edges,
+    )
+
+    p = tmp_path / "edges.txt"
+    p.write_text("1 2\n2 3\n3 1\n9 9\n")
+    parq = spark.createDataFrame(
+        [(5, 6, 0.5), (6, 5, 1.5)], "src long, dst long, weight double"
+    )
+    pdir = str(tmp_path / "edges.parquet")
+    parq.write.parquet(pdir)
+
+    # filters AND together and drop at scan time
+    filtered = apply_input_filters(
+        read_edge_list(spark, str(p)), F.col("src") != F.col("dst"), F.col("src") < 3
+    )
+    assert sorted((r.src, r.dst) for r in filtered.collect()) == [(1, 2), (2, 3)]
+
+    # multi-input: text + parquet, weight aligned by name, per-source filter
+    union = read_multi_edges(
+        spark,
+        [
+            lambda s: read_edge_list(s, str(p)),
+            spark.read.parquet(pdir),
+        ],
+        edge_filter=F.col("src") != F.col("dst"),
+    )
+    rows = sorted(
+        (r.src, r.dst, None if r.weight is None else round(r.weight, 3))
+        for r in union.collect()
+    )
+    assert rows == [
+        (1, 2, None),
+        (2, 3, None),
+        (3, 1, None),
+        (5, 6, 0.5),
+        (6, 5, 1.5),
+    ]
+    assert union.columns == ["src", "dst", "weight"]

@@ -149,3 +149,77 @@ def test_windowed_degree_counts_and_sink(spark, tmp_path):
     q2 = incremental_edge_sink(read_edge_stream(spark, src), sink_path, str(tmp_path / "ck"))
     q2.awaitTermination()
     assert spark.read.parquet(sink_path).count() == 4
+
+
+def test_stateful_first_seen_across_restarts(spark, tmp_path):
+    from datetime import datetime
+
+    from giraph_spark.streaming import read_page_stream, stateful_first_seen
+
+    pages_dir = str(tmp_path / "pages")
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    rows1 = [
+        ("a", datetime(2026, 1, 1, 0, 0, 0), None, "t", "en"),
+        ("a", datetime(2026, 1, 1, 0, 0, 1), None, "t", "en"),
+        ("b", datetime(2026, 1, 1, 0, 0, 2), None, "t", "en"),
+    ]
+    rows2 = [
+        ("a", datetime(2026, 1, 1, 0, 1, 0), None, "t", "en"),
+        ("c", datetime(2026, 1, 1, 0, 1, 1), None, "t", "en"),
+    ]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(
+        pages_dir
+    )
+    out = stateful_first_seen(read_page_stream(spark, pages_dir))
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = {r.key: r.n_dropped for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"a": 1, "b": 0}
+    # second drain restarts the query from the checkpoint: per-key state
+    # persists, so the re-crawled 'a' is suppressed and only 'c' emits
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(
+        pages_dir
+    )
+    drain()
+    got = {r.key: r.n_dropped for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"a": 1, "b": 0, "c": 0}
+
+
+def test_running_degree_totals(spark, tmp_path):
+    from datetime import datetime
+
+    from giraph_spark.streaming import read_edge_stream, running_degree_totals
+
+    edges_dir = str(tmp_path / "edges")
+    es = "src long, dst long, event_ts timestamp"
+    e1 = [
+        (1, 10, datetime(2026, 1, 1)),
+        (2, 10, datetime(2026, 1, 1)),
+        (3, 11, datetime(2026, 1, 1)),
+    ]
+    spark.createDataFrame(e1, es).coalesce(1).write.mode("append").parquet(edges_dir)
+    tot = running_degree_totals(read_edge_stream(spark, edges_dir))
+    out_dir, ckpt = str(tmp_path / "tot"), str(tmp_path / "ck2")
+    q = (
+        tot.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.dst: r.in_degree_total for r in spark.read.parquet(out_dir).collect()}
+    assert got == {10: 2, 11: 1}
