@@ -1088,6 +1088,67 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("in_set").cast("long").alias("in_set"))
 
 
+def q_deadlock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.algorithms.deadlock import bracha_toueg_free
+    from giraph_spark.datasets import DL_ROOT, deadlock_demo_requests
+
+    run = bracha_toueg_free(
+        spark, deadlock_demo_requests(spark, sf_dir), DL_ROOT, num_partitions=NP
+    )
+    return run.vertices.select(
+        "id", F.col("is_free").cast("long").alias("is_free")
+    )
+
+
+def _deadlock_sql(unroll: int) -> str:
+    """Bracha-Toueg oracle: recursive CTE for the NOTIFY reachability, then
+    the grant fixpoint unrolled ``unroll`` rounds (chain depth is bounded
+    by the 8-vertex blocks of DEADLOCK_EDGES_SQL plus the root hop)."""
+    from giraph_spark.datasets import DEADLOCK_EDGES_SQL, DL_ROOT
+
+    # NB: inside WITH RECURSIVE, DuckDB 1.0 treats a top-level UNION in a
+    # NON-recursive CTE as UNION ALL — hence the explicit DISTINCT wrappers
+    parts = [
+        f"dedges AS MATERIALIZED ({DEADLOCK_EDGES_SQL})",
+        "dverts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM dedges UNION ALL SELECT dst FROM dedges))",
+        f"""reach(id) AS (
+  SELECT CAST({DL_ROOT} AS BIGINT)
+  UNION
+  SELECT e.dst FROM reach r JOIN dedges e ON e.src = r.id
+)""",
+        "notified AS MATERIALIZED (SELECT id FROM reach)",
+        "en AS MATERIALIZED (SELECT e.src, e.dst, e.tag FROM dedges e "
+        "JOIN notified n ON n.id = e.src)",
+        """f0 AS MATERIALIZED (
+  SELECT n.id FROM notified n
+  WHERE NOT EXISTS (SELECT 1 FROM en WHERE en.src = n.id)
+)""",
+    ]
+    for k in range(unroll):
+        parts.append(
+            f"""f{k + 1} AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM f{k}
+    UNION ALL
+    SELECT g.src AS id FROM (
+      SELECT en.src, en.tag
+      FROM en LEFT JOIN f{k} f ON f.id = en.dst
+      GROUP BY en.src, en.tag
+      HAVING count(*) = count(f.id)
+    ) g
+  )
+)"""
+        )
+    return (
+        "WITH RECURSIVE\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id, (CASE WHEN f.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_free
+FROM dverts v LEFT JOIN f{unroll} f ON f.id = v.id"""
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.multimodal import decode_image, image_features
 
@@ -1221,6 +1282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": q_component_sizes,
         "largest_component": q_largest_component,
         "mis": q_mis,
+        "deadlock": q_deadlock,
         "media_features": q_media_features,
         "corpus_extract_check": q_corpus_extract_check,
         "corpus_pagerank": q_corpus_pagerank,
@@ -1312,6 +1374,7 @@ FROM edges GROUP BY (src % 64), (dst % 64)""",
         "scc": _SCC_SQL,
         "ppr": _ppr_sql(15),
         "mis": _mis_sql(24),
+        "deadlock": _deadlock_sql(12),
         "corpus_extract_check": _corpus_extract_sql(_CORPUS_PATH),
         "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PATH, 10),
         "corpus_wcc": _corpus_wcc_sql(_CORPUS_PATH),

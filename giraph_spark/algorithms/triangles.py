@@ -50,8 +50,26 @@ def triangle_list(edges: DataFrame, symmetrize_input: bool = True) -> DataFrame:
 
     wedge join: oriented e1(a,b) x e1(a,c) with b<c in orientation order
     is closed by oriented edge (b,c).
+
+    The oriented table is scanned three times (both wedge legs + the
+    closing semi-join), so it is persisted eagerly — the symmetrize +
+    distinct + double degree-join pipeline behind it is far more
+    expensive than one cached scan. The cache is released when the
+    returned DataFrame can no longer need it is the CALLER's problem;
+    use ``triangles_per_vertex`` / ``triangle_count`` (which scope it)
+    unless you keep the list lazy on purpose.
     """
-    o = _oriented(edges, symmetrize_input)
+    o, _release = _oriented_cached(edges, symmetrize_input)
+    return _triangle_list_from(o)
+
+
+def _oriented_cached(edges: DataFrame, symmetrize_input: bool):
+    o = _oriented(edges, symmetrize_input).persist()
+    o.count()  # materialize once; all three downstream scans hit the cache
+    return o, o.unpersist
+
+
+def _triangle_list_from(o: DataFrame) -> DataFrame:
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     wedges = e1.join(e2, "a").where(F.col("b") < F.col("c"))
@@ -65,22 +83,38 @@ def triangle_list(edges: DataFrame, symmetrize_input: bool = True) -> DataFrame:
 def triangles_per_vertex(edges: DataFrame, symmetrize_input: bool = True) -> DataFrame:
     """(id, triangles): number of triangles through each vertex — matches
     the reference's per-vertex counts (TestUndirectedTriangleCounting.java:35-80)
-    including zero rows for triangle-free vertices."""
-    tris = triangle_list(edges, symmetrize_input)
+    including zero rows for triangle-free vertices.
+
+    Eager: the heavy intermediates (clean symmetric edges, oriented
+    table) are cached for the duration of the computation and released
+    before returning; the small (id, triangles) result comes back
+    persisted and populated.
+    """
+    e = clean_symmetric(edges) if symmetrize_input else edges.select("src", "dst")
+    e = e.persist()
+    o, release_o = _oriented_cached(e, symmetrize_input=False)
+    tris = _triangle_list_from(o)
     corners = (
         tris.select(F.col("a").alias("id"))
         .union(tris.select(F.col("b").alias("id")))
         .union(tris.select(F.col("c").alias("id")))
     )
     counts = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
-    e = clean_symmetric(edges) if symmetrize_input else edges.select("src", "dst")
-    return (
+    result = (
         vertices_from_edges(e)
         .join(counts, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+        .persist()
     )
+    result.count()
+    release_o()
+    e.unpersist()
+    return result
 
 
 def triangle_count(edges: DataFrame, symmetrize_input: bool = True) -> int:
     """Global triangle count (= sum of per-vertex counts / 3)."""
-    return triangle_list(edges, symmetrize_input).count()
+    o, release_o = _oriented_cached(edges, symmetrize_input)
+    n = _triangle_list_from(o).count()
+    release_o()
+    return n

@@ -130,3 +130,57 @@ def with_weight(edges: DataFrame) -> DataFrame:
     return edges.withColumn(
         "weight", ((F.col("src") * 7 + F.col("dst") * 13) % 3 + 1).cast("double")
     )
+
+
+# Bracha-Toueg demo wait-for graph: block-local request edges (8-vertex
+# blocks bound the grant-chain depth, so the DuckDB oracle's fixpoint
+# unroll stays small) plus a root initiator that requests every block
+# head under a per-head tag — the N-out-of-M OR: the root is free iff
+# ANY block head's subtree reduces.
+DL_BLOCK = 8
+DL_ROOT = V_DEMO  # 4096: one past the block vertex-id space
+
+# Even blocks keep only forward edges (dmod > src mod block): an acyclic
+# request DAG that fully reduces — grant chains up to DL_BLOCK hops deep
+# exercise the fixpoint. Odd blocks keep every edge: dense wait cycles
+# that stay deadlocked. The root is free iff ANY head frees (it does:
+# every even head).
+DEADLOCK_EDGES_SQL = f"""
+SELECT src, dst, (src * 3 + dst * 5) % 2 AS tag FROM (
+  SELECT DISTINCT src, (src - src % {DL_BLOCK}) + dmod AS dst FROM (
+    SELECT (l_orderkey % {V_DEMO}) AS src,
+           ((l_partkey * 31 + l_suppkey * 17) % {DL_BLOCK}) AS dmod
+    FROM lineitem
+  ) WHERE src <> (src - src % {DL_BLOCK}) + dmod
+    AND ((src % {2 * DL_BLOCK} >= {DL_BLOCK}) OR dmod > (src % {DL_BLOCK}))
+)
+UNION ALL
+SELECT {DL_ROOT} AS src, ({DL_BLOCK} * g) AS dst, ({DL_BLOCK} * g) AS tag
+FROM range(0, {V_DEMO // DL_BLOCK}) t(g)
+""".strip()
+
+
+def deadlock_demo_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst, tag) wait-for edges — matches DEADLOCK_EDGES_SQL verbatim."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = (F.col("l_orderkey") % V_DEMO).cast("long")
+    dmod = ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % DL_BLOCK).cast("long")
+    dst = src - src % DL_BLOCK + dmod
+    base = (
+        li.select(src.alias("src"), dst.alias("dst"), dmod.alias("dmod"))
+        .where(
+            (F.col("src") != F.col("dst"))
+            & (
+                (F.col("src") % (2 * DL_BLOCK) >= DL_BLOCK)
+                | (F.col("dmod") > F.col("src") % DL_BLOCK)
+            )
+        )
+        .dropDuplicates(["src", "dst"])
+        .select("src", "dst", ((F.col("src") * 3 + F.col("dst") * 5) % 2).alias("tag"))
+    )
+    heads = spark.range(V_DEMO // DL_BLOCK).select(
+        F.lit(DL_ROOT).cast("long").alias("src"),
+        (F.col("id") * DL_BLOCK).cast("long").alias("dst"),
+        (F.col("id") * DL_BLOCK).cast("long").alias("tag"),
+    )
+    return base.unionByName(heads)

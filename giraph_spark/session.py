@@ -48,3 +48,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def suggest_num_partitions(
+    n_rows: int, cores: int, rows_per_partition: int = 2_000_000
+) -> int:
+    """Data-proportional partition count for the superstep shuffles.
+
+    Measured on the sf0.1 (358k-edge) and 126M-edge inputs: below ~8
+    partitions-worth of data the per-task scheduling floor dominates a
+    local run (34-superstep PageRank: 27.9s at 8 partitions vs 44.4s at
+    32), while the big input wants ~2M edges/partition (64 partitions at
+    126M edges). Rule: ceil(rows / rows_per_partition), capped at
+    4*cores, floored at 8, rounded up to a multiple of 8 so partitions
+    divide evenly across executor threads.
+    """
+    import math
+
+    p = max(1, math.ceil(n_rows / rows_per_partition))
+    p = min(p, 4 * cores)
+    return max(8, ((p + 7) // 8) * 8)
