@@ -41,6 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # throughput GC: G1's concurrent cycles inflate 32-thread batch CPU
+        # 2.9x on the 126M-edge superstep job (tools/diag_scaling.py:
+        # ParallelGC wall 199s vs G1 427s at local[32]); a batch engine
+        # wants the stop-the-world throughput collector
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.session.timeZone", "UTC")

@@ -46,6 +46,8 @@ def main() -> None:
         extra_conf={
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "64g"),
             "spark.ui.enabled": "true",
+            # experiment hook: SPARK_DRIVER_JAVA_OPTS="-XX:+UseG1GC" compares
+            # collectors (engine default is ParallelGC, session.py)
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
