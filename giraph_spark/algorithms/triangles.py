@@ -54,10 +54,10 @@ def triangle_list(edges: DataFrame, symmetrize_input: bool = True) -> DataFrame:
     The oriented table is scanned three times (both wedge legs + the
     closing semi-join), so it is persisted eagerly — the symmetrize +
     distinct + double degree-join pipeline behind it is far more
-    expensive than one cached scan. The cache is released when the
-    returned DataFrame can no longer need it is the CALLER's problem;
-    use ``triangles_per_vertex`` / ``triangle_count`` (which scope it)
-    unless you keep the list lazy on purpose.
+    expensive than one cached scan. Releasing that cache is the
+    CALLER's responsibility once the returned DataFrame is consumed;
+    prefer ``triangles_per_vertex`` / ``triangle_count``, which scope
+    and release it themselves.
     """
     o, _release = _oriented_cached(edges, symmetrize_input)
     return _triangle_list_from(o)

@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="giraph_spark", description=__doc__)
     p.add_argument("algorithm", choices=[
         "pagerank", "ppr", "wcc", "lpa", "maxlabel", "sssp", "bfs",
-        "triangles", "scc", "mis", "extract-edges",
+        "triangles", "scc", "mis", "deadlock", "extract-edges",
     ])
     p.add_argument("--edges", help="parquet edge table (src,dst[,weight])")
     p.add_argument("--pages", help="parquet page table (url,warc_ts,html,text,lang) for extract-edges")
@@ -136,6 +136,22 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"algorithm": "scc",
                           "seconds": round(time.time() - t0, 2)}))
         return 0
+    elif args.algorithm == "deadlock":
+        from giraph_spark.algorithms.deadlock import bracha_toueg_free
+
+        # edge table doubles as the wait-for graph (src,dst[,tag]);
+        # --source = the detection initiator (default: lowest vertex id)
+        initiator = (args.source or [None])[0]
+        if initiator is None:
+            from pyspark.sql import functions as F
+
+            initiator = int(
+                edges.agg(F.least(F.min("src"), F.min("dst"))).collect()[0][0]
+            )
+        run = bracha_toueg_free(
+            spark, edges, initiator,
+            max_supersteps=args.max_supersteps, **common,
+        )
     elif args.algorithm == "mis":
         from giraph_spark.algorithms.mis import maximal_independent_set
 

@@ -61,3 +61,24 @@ def test_cli_extract_edges(spark, tmp_path, capsys):
     assert main(["extract-edges", "--pages", pages, "--output", out]) == 0
     df = spark.read.parquet(out)
     assert df.columns == ["src", "dst"] and df.count() > 0
+
+
+def test_cli_deadlock(spark, tmp_path, capsys):
+    # cycle 1->2->3->1 with a free leaf 4 in 3's SAME AND-group as the
+    # cycle edge: 4 grants 3 but the group still waits on 1, so the cycle
+    # stays deadlocked while 4 is free. (With 3->4 under its own tag the
+    # whole graph would reduce — separate tags are alternate N-of-M
+    # request sets.)
+    edges = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 0), (3, 1, 0), (3, 4, 0)],
+        "src long, dst long, tag long",
+    )
+    ep = str(tmp_path / "waitfor.parquet")
+    edges.write.parquet(ep)
+    out = str(tmp_path / "freedom")
+    assert main(["deadlock", "--edges", ep, "--output", out,
+                 "--source", "1", "--num-partitions", "4"]) == 0
+    printed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert printed["algorithm"] == "deadlock" and printed["converged"]
+    free = {r.id: r.is_free for r in spark.read.parquet(out).collect()}
+    assert free == {1: False, 2: False, 3: False, 4: True}
