@@ -26,7 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giraph_spark.graph import symmetrize, vertices_from_edges
-from giraph_spark.pregel import PregelRun, gather_messages, run_supersteps
+from giraph_spark.pregel import (
+    PregelRun,
+    gather_messages,
+    materialize_count,
+    run_supersteps,
+)
 
 
 def label_propagation(
@@ -56,7 +61,8 @@ def label_propagation(
 
     def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
         msgs = e.join(
-            vertices.select(F.col("id").alias("src"), "label"), "src"
+            vertices.select(F.col("id").alias("src"), "label").hint("shuffle_hash"),
+            "src",
         ).select("dst", "label")
         # two-stage mode: count per (dst, label) — map-side combined — then
         # argmax per dst with deterministic tie-break to the smaller label
@@ -65,7 +71,9 @@ def label_propagation(
             F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
         )
         new_state = (
-            vertices.join(mode.withColumnRenamed("dst", "id"), "id", "left")
+            vertices.join(
+                mode.withColumnRenamed("dst", "id").hint("shuffle_hash"), "id", "left"
+            )
             .select(
                 "id",
                 F.coalesce("new_label", "label").alias("label"),
@@ -73,8 +81,7 @@ def label_propagation(
             )
             .persist()
         )
-        changed = new_state.where("_changed").count()
-        return new_state, {"changed": changed}
+        return new_state, {"changed": materialize_count(new_state, "_changed")}
 
     run = run_supersteps(
         spark,
@@ -115,10 +122,16 @@ def max_label_propagation(
 
     def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
         frontier = vertices.where("changed").select(F.col("id").alias("src"), "label")
-        msgs = e.join(frontier, "src").select("dst", F.col("label").alias("msg"))
+        msgs = e.join(frontier.hint("shuffle_hash"), "src").select(
+            "dst", F.col("label").alias("msg")
+        )
         gathered = gather_messages(msgs, [("msg", "max")], key="dst")
         new_state = (
-            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            vertices.join(
+                gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 F.greatest("label", F.coalesce("msg", "label")).alias("label"),
@@ -126,8 +139,7 @@ def max_label_propagation(
             )
             .persist()
         )
-        changed = new_state.where("changed").count()
-        return new_state, {"changed": changed}
+        return new_state, {"changed": materialize_count(new_state, "changed")}
 
     run = run_supersteps(
         spark,

@@ -122,15 +122,28 @@ def pagerank(
             box["all_sum"], box["sink_sum"] = _sums(vertices)
         all_sum, sink_sum = box["all_sum"], box["sink_sum"]
 
+        # SHUFFLE_HASH on the rank side: sort-merge would re-sort the
+        # (static, cached, already src-partitioned) edge table every
+        # superstep; hash-building the much smaller per-superstep rank
+        # state streams the edges untouched. Build side = vertex state /
+        # partition — the same per-partition-state-fits-in-memory bound
+        # the gather's hash aggregation already assumes.
         msgs = (
-            e.join(vertices.select(F.col("id").alias("src"), "rank"), "src")
+            e.join(
+                vertices.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"),
+                "src",
+            )
             .select("dst", (F.col("rank") * F.col("weight")).alias("msg"))
         )
         gathered = gather_messages(msgs, [("msg", "sum")], key="dst", salt=salt)
 
         base = F.lit(d * sink_sum / n_vertices + (1.0 - d) * all_sum / n_vertices)
         new_state = (
-            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            vertices.join(
+                gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 (F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0)) + base).alias("rank"),
@@ -254,7 +267,8 @@ def pagerank_random_walk(
         cum, dang = box["cum"], box["dangling"]
 
         msgs = e.join(
-            vertices.select(F.col("id").alias("src"), "rank"), "src"
+            vertices.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"),
+            "src",
         ).select("dst", (F.col("rank") * F.col("weight")).alias("msg"))
         gathered = gather_messages(msgs, [("msg", "sum")], key="dst")
         base = (1.0 - t) * dang / n_vertices + t / n_vertices
@@ -262,7 +276,11 @@ def pagerank_random_walk(
             F.lit(1.0 - t) * F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(base)
         ) / F.lit(cum)
         new_state = (
-            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            vertices.join(
+                gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 raw.alias("rank"),

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giraph_spark.graph import vertices_from_edges
-from giraph_spark.pregel import PregelRun, gather_messages, run_supersteps
+from giraph_spark.pregel import (
+    PregelRun,
+    gather_messages,
+    materialize_count,
+    run_supersteps,
+)
 
 _INF = float("inf")
 
@@ -55,12 +60,16 @@ def sssp(
 
     def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
         frontier = vertices.where("changed").select(F.col("id").alias("src"), "distance")
-        msgs = e.join(frontier, "src").select(
+        msgs = e.join(frontier.hint("shuffle_hash"), "src").select(
             "dst", (F.col("distance") + F.col("w")).alias("msg")
         )
         gathered = gather_messages(msgs, [("msg", "min")], key="dst")
         new_state = (
-            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            vertices.join(
+                gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 F.least("distance", F.coalesce("msg", "distance")).alias("distance"),
@@ -68,8 +77,7 @@ def sssp(
             )
             .persist()
         )
-        changed = new_state.where("changed").count()
-        return new_state, {"changed": changed}
+        return new_state, {"changed": materialize_count(new_state, "changed")}
 
     run = run_supersteps(
         spark,

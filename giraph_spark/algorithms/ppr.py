@@ -79,7 +79,8 @@ def personalized_pagerank(
         sink_sum = box["sink_sum"]
 
         msgs = e.join(
-            vertices.select(F.col("id").alias("src"), "rank"), "src"
+            vertices.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"),
+            "src",
         ).select("dst", (F.col("rank") * F.col("weight")).alias("msg"))
         gathered = gather_messages(msgs, [("msg", "sum")], key="dst", salt=salt)
         restart = F.when(
@@ -89,7 +90,11 @@ def personalized_pagerank(
             F.lit(1.0 - t) * F.coalesce(F.col("msg"), F.lit(0.0)) + restart
         )
         new_state = (
-            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            vertices.join(
+                gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 new_rank.alias("rank"),

@@ -29,7 +29,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giraph_spark.graph import symmetrize, vertices_from_edges
-from giraph_spark.pregel import PregelRun, gather_messages, run_supersteps
+from giraph_spark.pregel import (
+    PregelRun,
+    gather_messages,
+    materialize_count,
+    run_supersteps,
+)
 
 
 def connected_components(
@@ -71,10 +76,18 @@ def connected_components(
         frontier = vertices.where("changed").select(
             F.col("id").alias("src"), "component"
         )
-        msgs = e.join(frontier, "src").select("dst", F.col("component").alias("msg"))
+        # SHUFFLE_HASH: stream the static cached edge table, hash-build the
+        # shrinking frontier — sort-merge would re-sort the edges each round
+        msgs = e.join(frontier.hint("shuffle_hash"), "src").select(
+            "dst", F.col("component").alias("msg")
+        )
         gathered = gather_messages(msgs, [("msg", "min")], key="dst", salt=salt)
         new_state = (
-            vertices.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            vertices.join(
+                gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+                "id",
+                "left",
+            )
             .select(
                 "id",
                 F.least("component", F.coalesce("msg", "component")).alias("component"),
@@ -82,8 +95,7 @@ def connected_components(
             )
             .persist()
         )
-        changed = new_state.where("changed").count()
-        return new_state, {"changed": changed}
+        return new_state, {"changed": materialize_count(new_state, "changed")}
 
     run = run_supersteps(
         spark,

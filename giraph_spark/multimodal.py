@@ -198,14 +198,30 @@ def resize_image(decoded: DataFrame, new_width: int, new_height: int) -> DataFra
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_pix = []
-            for pix, w, h, c in zip(
-                pdf["pixels"], pdf["width"], pdf["height"], pdf["channels"]
+            out_pix: list[bytes | None] = [None] * len(pdf)
+            # group rows by source shape so each group resizes as ONE
+            # stacked fancy-index (decode_image emits uniform dims, so
+            # this is normally a single group — same pattern as
+            # image_features)
+            by_shape: dict[tuple[int, int, int], list[int]] = {}
+            for i, (h, w, c) in enumerate(
+                zip(pdf["height"], pdf["width"], pdf["channels"])
             ):
-                arr = np.frombuffer(pix, dtype=np.uint8).reshape(int(h), int(w), int(c))
+                by_shape.setdefault((int(h), int(w), int(c)), []).append(i)
+            for (h, w, c), idxs in by_shape.items():
+                stack = np.stack(
+                    [
+                        np.frombuffer(pdf["pixels"].iloc[i], dtype=np.uint8).reshape(
+                            h, w, c
+                        )
+                        for i in idxs
+                    ]
+                )
                 ys = (np.arange(new_height) * h // new_height).astype(np.int64)
                 xs = (np.arange(new_width) * w // new_width).astype(np.int64)
-                out_pix.append(arr[np.ix_(ys, xs)].tobytes())
+                resized = stack[:, ys[:, None], xs, :]  # (n, H', W', c)
+                for j, i in enumerate(idxs):
+                    out_pix[i] = resized[j].tobytes()
             yield pd.DataFrame(
                 {
                     "key": pdf["key"],

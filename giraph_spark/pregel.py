@@ -160,6 +160,17 @@ def scatter_messages(
     return e.select("src", "dst").join(vm, "src").select("dst", "msg")
 
 
+def materialize_count(df: DataFrame, pred_col: str) -> int:
+    """ONE action that both materializes a just-``persist()``-ed state and
+    returns ``count(pred_col)`` — replaces the ``.where(pred).count()``
+    second job per superstep (the frontier-size aggregator); the scan that
+    fills the cache is the same scan that counts."""
+    row = df.agg(
+        F.sum(F.when(F.col(pred_col), 1).otherwise(0)).alias("c")
+    ).collect()[0]
+    return int(row["c"] or 0)
+
+
 def _checkpointed_jrdd(df: DataFrame):
     """Best-effort handle to the java RDD backing a localCheckpoint'ed
     DataFrame (LogicalRDD.rdd), for explicit release — there is no public

@@ -49,8 +49,26 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
         )
+        # let AQE expose a cached plan's output partitioning: without this
+        # an InMemoryRelation built under AQE reports Unknown partitioning
+        # and EVERY superstep re-exchanges the cached edge table (measured:
+        # a 2.8 GiB shuffle per superstep on the 126M-edge input that the
+        # explicit repartition(N, "src").persist() was supposed to elide)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
+        # iterative joins of a big cached table against small per-superstep
+        # state want shuffled-hash, not sort-merge: SMJ re-sorts the 126M-row
+        # edge side every superstep; hash-building the ~8M-row rank side is
+        # strictly cheaper at these shapes (hot paths also hint SHUFFLE_HASH
+        # explicitly — this conf lets AQE make the same call elsewhere)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # NOTE: do not lower spark.cleaner.periodicGC.interval below its
+        # 30min default — System.gc() on a big ParallelGC heap is a full
+        # STW collection (measured: adjacent 126M-edge supersteps swing
+        # 27s -> 90s under a 1min periodic GC); superseded lineage cuts
+        # are released explicitly (pregel.py prev_cut_jrdd) instead
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():

@@ -90,12 +90,19 @@ def run_level_isolated(cores: int, measured: int) -> dict:
     """Each level in its own process: PySpark reuses the gateway JVM
     across SparkContexts, and a prior level's heap state inflates later
     levels' superstep times (measured: 2-4x). A fresh JVM per level is
-    the faithful analog of a fresh cluster."""
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--level",
-         str(cores), str(measured)],
-        capture_output=True, text=True, check=True,
-    )
+    the faithful analog of a fresh cluster.
+
+    The process is ALSO pinned to exactly ``cores`` CPUs (taskset): a
+    real N-core executor shares those N cores among task, GC, JIT, and
+    shuffle threads, but an unpinned local[N] JVM on a 32-core box gives
+    the N task threads ~23 free ParallelGC/C2 helper cores — inflating
+    the small level's throughput and UNDERSTATING scaling efficiency."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--level",
+           str(cores), str(measured)]
+    n_cpus = os.cpu_count() or cores
+    if cores < n_cpus:
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -179,8 +186,10 @@ def main() -> None:
         "Protocol: same fixed-superstep PageRank job, same materialized",
         f"edge table ({n_vertices:,} vertices, {n_edges:,} edges, mega-hub",
         f"skew), identical {SHUFFLE_PARTITIONS}-partition physical plan; only",
-        "the core count varies (local[8] vs local[32] = the sandbox analog",
-        "of N vs 4N executors). Reported: MEDIAN ACROSS REPEATS (fresh JVM",
+        "the core count varies (local[N] PINNED to N CPUs via taskset — GC/",
+        "JIT/shuffle threads share the N cores exactly as on a real N-core",
+        "executor — the sandbox analog of N vs 4N executors). Reported:",
+        "MEDIAN ACROSS REPEATS (fresh JVM",
         "each, levels interleaved) of the within-run median steady-state",
         f"superstep time (first {WARMUP} supersteps = JIT/cache warm-up,",
         "excluded; totals including warm-up shown for reference).",
