@@ -739,6 +739,18 @@ ranked AS (
 SELECT query_id, rank::BIGINT AS rank, neighbor_id, cosine
 FROM ranked WHERE rank <= 5"""
 
+_COSINE_PAIRS_SQL = f"""WITH {_EMB_UNNEST},
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM u a JOIN u b ON b.pos = a.pos AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4"""
+
 _IVF_SQL = f"""WITH {_EMB_UNNEST},
 c AS (SELECT vec_id AS centroid_id, pos, v FROM u WHERE vec_id < 8),
 dots AS (
@@ -1012,6 +1024,27 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, brute-force exact baseline: all
+    (id_a < id_b) pairs with cosine >= 0.4."""
+    from giraph_spark.embeddings import cosine_pairs
+
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, random-hyperplane LSH scale path:
+    banded candidate buckets + exact cosine verify. At 32 planes /
+    16 bands a cosine-0.4 pair collides with prob 1-(1-0.398)^16
+    ~ 0.9997, and on this deterministic corpus+seed recall is exactly
+    1, so the brute-force SQL is a valid exact oracle."""
+    from giraph_spark.embeddings import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(
+        _emb(spark, sf_dir), threshold=0.4, dim=64, planes=32, bands=16, seed=42
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -1274,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
         "kmeans_ivf": q_kmeans_ivf,
+        "cosine_near_dup": q_cosine_near_dup,
+        "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "coarsen": q_coarsen,
         "sessionize": q_sessionize,
         "event_rollup": q_event_rollup,
@@ -1366,6 +1401,8 @@ SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "ann_topk": _ANN_SQL,
         "ivf_assign": _IVF_SQL,
         "kmeans_ivf": _kmeans_assign_sql(8, 4, 7),
+        "cosine_near_dup": _COSINE_PAIRS_SQL,
+        "cosine_near_dup_lsh": _COSINE_PAIRS_SQL,
         "coarsen": f"""WITH {_GRAPH}
 SELECT (src % 64) AS src, (dst % 64) AS dst, count(*)::BIGINT AS weight
 FROM edges GROUP BY (src % 64), (dst % 64)""",

@@ -243,3 +243,125 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, brute force — the exact
+    baseline: all (id_a < id_b) pairs with cosine >= threshold. Returns
+    (id_a, id_b, cosine) with cosine rounded to 6 dp for cross-engine
+    determinism. O(n^2) by construction — the correctness oracle for
+    :func:`lsh_cosine_pairs`, usable directly only on bounded inputs
+    (a dedup shard, a candidate pool), never on the full corpus.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def hyperplane_signatures(
+    vectors: DataFrame,
+    dim: int,
+    planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) band signatures.
+
+    Each of ``planes`` pseudo-random Rademacher hyperplanes (components
+    +-1, deterministic from ``seed`` via numpy so retried tasks agree)
+    contributes one sign bit: bit_p = [dot(v, h_p) >= 0]. Bits are packed
+    into ``bands`` integer bucket keys of planes/bands bits each — the
+    banded LSH family for angular distance: two vectors at cosine
+    similarity s collide in one band with prob ((1 - acos(s)/pi) ** r),
+    r = planes/bands. Returns (vec_id, band, bucket) — one row per band,
+    all JVM-side arithmetic (no shuffle until the caller groups buckets).
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    h = rng.choice([-1.0, 1.0], size=(planes, dim))
+    r = planes // bands
+    if r * bands != planes:
+        raise ValueError(f"planes ({planes}) must divide evenly into bands ({bands})")
+    v = F.col(vec_col)
+    bits = [
+        (_dot(v, F.array(*[F.lit(float(x)) for x in h[p]])) >= 0).cast("long")
+        for p in range(planes)
+    ]
+    bucket_cols = []
+    for b in range(bands):
+        acc = F.lit(0)
+        for j in range(r):
+            acc = acc * 2 + bits[b * r + j]
+        bucket_cols.append(F.struct(F.lit(b).alias("band"), acc.alias("bucket")))
+    return vectors.select(
+        F.col(id_col), F.explode(F.array(*bucket_cols)).alias("_bb")
+    ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+
+def lsh_cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int,
+    planes: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: candidates = pairs sharing any
+    (band, bucket) of :func:`hyperplane_signatures`, then an exact cosine
+    verify join keeps pairs >= threshold. Precision is exact (every
+    emitted cosine is recomputed); recall is the banded-LSH bound — at
+    the defaults (16 planes, 8 bands of 2 bits) a cosine-0.9 pair is a
+    candidate with prob ~0.9998. No all-pairs stage anywhere: the only
+    quadratic term is within a single LSH bucket, the same bound as
+    ``dedup.minhash_lsh_pairs``. Returns (id_a, id_b, cosine).
+    """
+    sig = hyperplane_signatures(
+        vectors, dim=dim, planes=planes, bands=bands, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    left = sig.select("band", "bucket", F.col(id_col).alias("id_a"))
+    right = sig.select("band", "bucket", F.col(id_col).alias("id_b"))
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -184,6 +184,27 @@ def _checkpointed_jrdd(df: DataFrame):
 
 
 @dataclass
+class WorkerHooks:
+    """Application/superstep lifecycle hooks — the reference's
+    WorkerContext surface (``worker/WorkerContext.java:78-154``:
+    preApplication / preSuperstep / postSuperstep / postApplication).
+
+    Giraph runs these once per *worker JVM*; here the superstep loop is
+    driver-orchestrated, so the hooks run once per application / superstep
+    on the driver, with the current vertex-state DataFrame and the loop's
+    aggregator dict in scope (the idiomatic Spark home for per-worker
+    setup like reading config or verifying invariants — per-executor init
+    belongs inside a ``mapInPandas`` batch fn, SURVEY §2 row 13). Any
+    hook may be None. ``post_superstep`` receives the superstep's stats
+    dict and may mutate it (visible to ``halt`` and the history)."""
+
+    pre_application: Callable[[DataFrame], None] | None = None
+    pre_superstep: Callable[[DataFrame, int], None] | None = None
+    post_superstep: Callable[[DataFrame, int, dict[str, Any]], None] | None = None
+    post_application: Callable[[DataFrame], None] | None = None
+
+
+@dataclass
 class PregelRun:
     """Outcome of a superstep loop."""
 
@@ -207,6 +228,7 @@ def run_supersteps(
     checkpoint_interval: int = 5,
     resume: bool = False,
     lineage_cut_interval: int = 1,
+    hooks: WorkerHooks | None = None,
     verbose: bool = False,
 ) -> PregelRun:
     """Drive the BSP loop.
@@ -245,8 +267,12 @@ def run_supersteps(
     converged = False
     last_saved = superstep if (resume and ckpt is not None) else None
     prev_cut_jrdd = None  # java RDD behind the previous lineage cut
+    if hooks is not None and hooks.pre_application is not None:
+        hooks.pre_application(current)
     while superstep < max_supersteps:
         t0 = time.time()
+        if hooks is not None and hooks.pre_superstep is not None:
+            hooks.pre_superstep(current, superstep)
         new_vertices, stats = step(current, superstep)
         new_vertices = new_vertices.persist()
         if not stats:  # ensure materialization even if step ran no action
@@ -254,6 +280,8 @@ def run_supersteps(
         stats = dict(stats)
         stats["superstep"] = superstep
         stats["seconds"] = time.time() - t0
+        if hooks is not None and hooks.post_superstep is not None:
+            hooks.post_superstep(new_vertices, superstep, stats)
         history.append(stats)
         if verbose:
             print(f"[pregel] superstep={superstep} {stats}")
@@ -291,6 +319,8 @@ def run_supersteps(
     # was just reloaded from (write-into-source)
     if ckpt is not None and history and last_saved != superstep:
         ckpt.save(current, superstep, history[-1])
+    if hooks is not None and hooks.post_application is not None:
+        hooks.post_application(current)
     return PregelRun(
         vertices=current, supersteps=superstep, converged=converged, history=history
     )

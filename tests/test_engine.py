@@ -106,3 +106,38 @@ def test_gather_rejects_non_associative(spark):
     df = spark.createDataFrame([(1, 2.0)], "dst long, msg double")
     with pytest.raises(ValueError):
         gather_messages(df, [("msg", "avg")])
+
+
+def test_worker_hooks_lifecycle(spark):
+    """WorkerContext.java:78-154 lifecycle order: preApplication once,
+    pre/postSuperstep per superstep, postApplication once; postSuperstep
+    may mutate stats visible to halt and the history."""
+    from giraph_spark.pregel import WorkerHooks, run_supersteps
+
+    state = spark.createDataFrame([(i, 0) for i in range(4)], "id long, v long")
+    calls: list[str] = []
+    hooks = WorkerHooks(
+        pre_application=lambda df: calls.append("preApp"),
+        pre_superstep=lambda df, i: calls.append(f"pre{i}"),
+        post_superstep=lambda df, i, stats: (
+            calls.append(f"post{i}"),
+            stats.__setitem__("flag", i),
+        ),
+        post_application=lambda df: calls.append("postApp"),
+    )
+
+    def step(vertices, superstep):
+        nv = vertices.select("id", (F.col("v") + 1).alias("v"))
+        total = nv.agg(F.sum("v")).collect()[0][0]
+        return nv, {"total": int(total)}
+
+    run = run_supersteps(
+        spark, state, step, max_supersteps=5,
+        halt=lambda stats, i: stats["flag"] >= 2,  # set by post_superstep
+        hooks=hooks,
+    )
+    assert run.supersteps == 3 and run.converged
+    assert calls == [
+        "preApp", "pre0", "post0", "pre1", "post1", "pre2", "post2", "postApp",
+    ]
+    assert [h["flag"] for h in run.history] == [0, 1, 2]

@@ -241,3 +241,44 @@ def test_lang_id_deterministic(spark, docs):
     b = sorted((r.doc_id, r.pred_lang) for r in lang_id(docs).collect())
     assert a == b
     assert all(p in {"de", "en", "es", "fr", "zh", "und"} for _, p in a)
+
+
+def test_cosine_pairs_matches_python(emb):
+    from giraph_spark.embeddings import cosine_pairs
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    want = {
+        (a, b): round(_cos(vecs[a], vecs[b]), 6)
+        for a in vecs
+        for b in vecs
+        if a < b and round(_cos(vecs[a], vecs[b]), 6) >= 0.35
+    }
+    got = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs(emb, 0.35).collect()}
+    assert got == want
+
+
+def test_lsh_cosine_pairs_exact_precision_and_recall(emb):
+    """Precision is exact by construction (verify join); recall at
+    32 planes / 16 bands is ~0.9997 per qualifying pair — on this
+    fixed corpus+seed it must be exactly 1 (deterministic)."""
+    from giraph_spark.embeddings import cosine_pairs, lsh_cosine_pairs
+
+    bf = {(r.id_a, r.id_b, r.cosine) for r in cosine_pairs(emb, 0.35).collect()}
+    lsh = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in lsh_cosine_pairs(
+            emb, 0.35, dim=64, planes=32, bands=16, seed=42
+        ).collect()
+    }
+    assert lsh == bf and len(bf) > 0
+
+
+def test_hyperplane_signatures_deterministic(emb):
+    from giraph_spark.embeddings import hyperplane_signatures
+
+    a = sorted(map(tuple, hyperplane_signatures(emb, dim=64).collect()))
+    b = sorted(map(tuple, hyperplane_signatures(emb, dim=64).collect()))
+    assert a == b
+    # one row per (vector, band)
+    n = emb.count()
+    assert len(a) == n * 8
