@@ -673,7 +673,7 @@ SELECT a.doc_id,
 FROM agg a JOIN documents d ON d.doc_id = a.doc_id"""
 
 
-_MINHASH_SQL = f"""WITH {_POS_TOKENS},
+_MINHASH_CTES = f"""{_POS_TOKENS},
 {_SHINGLES3},
 bands AS (SELECT unnest(generate_series(0, 7)) AS band),
 sig AS (
@@ -692,14 +692,53 @@ inter AS (
   JOIN sh sa ON sa.doc_id = c.doc_a
   JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT c.doc_a, c.doc_b,
+)"""
+
+_MINHASH_PAIRS_BODY = """SELECT c.doc_a, c.doc_b,
        round(coalesce(i.inter, 0) / (za.sz + zb.sz - coalesce(i.inter, 0))::DOUBLE, 6) AS jaccard
 FROM cand c
 LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
 JOIN sizes za ON za.doc_id = c.doc_a
 JOIN sizes zb ON zb.doc_id = c.doc_b
 WHERE round(coalesce(i.inter, 0) / (za.sz + zb.sz - coalesce(i.inter, 0))::DOUBLE, 6) >= 0.05"""
+
+_MINHASH_SQL = f"""WITH {_MINHASH_CTES}
+{_MINHASH_PAIRS_BODY}"""
+
+
+def _dedup_clusters_sql(iters: int) -> str:
+    """MinHash-LSH pairs -> undirected min-label closure -> canonical doc.
+
+    ``iters`` must exceed the dup-cluster diameter (measured max cluster
+    size 3 at sf0.01 -> diameter 2; over-provisioned)."""
+    parts = [
+        _MINHASH_CTES,
+        f"pairs AS MATERIALIZED ({_MINHASH_PAIRS_BODY})",
+        """und AS MATERIALIZED (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+)""",
+        "c0 AS MATERIALIZED (SELECT doc_id, doc_id AS lab FROM documents)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""c{k + 1} AS MATERIALIZED (
+  SELECT v.doc_id, least(v.lab, coalesce(m.m, v.lab)) AS lab
+  FROM c{k} v LEFT JOIN (
+    SELECT u.t AS doc_id, min(l.lab) AS m
+    FROM und u JOIN c{k} l ON l.doc_id = u.s
+    GROUP BY u.t
+  ) m ON m.doc_id = v.doc_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id, lab AS canonical_id,
+       (doc_id = lab)::BIGINT AS is_canonical
+FROM c{iters}"""
+    )
 
 _JACCARD_SQL = f"""WITH {_TOKENS},
 dt AS (SELECT DISTINCT doc_id, token FROM t),
@@ -976,6 +1015,46 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.05, bands=8, n=3)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: MinHash-LSH near-dup pairs -> connected
+    components over the dup graph -> every document mapped to the min
+    doc_id of its dup cluster (itself when unique). is_canonical = the
+    one row per cluster a training pipeline would keep. Composes the
+    LLM-pipeline dedup ops with the Pregel WCC engine."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, threshold=0.05, bands=8, n=3)
+    dup_edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(spark, dup_edges, max_supersteps=10).vertices
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn(
+            "is_canonical",
+            (F.col("doc_id") == F.col("canonical_id")).cast("long"),
+        )
+    )
+
+
+def q_neighbor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex top-3 in-neighbor ids via the salted two-level bounded
+    top-k gather (TopNReduce over sharded reducers) — the non-algebraic
+    gather path, exercised with salt=4 so the skew machinery itself is
+    under the oracle."""
+    from giraph_spark.pregel import gather_topk_messages
+
+    e = demo_edges(spark, sf_dir)
+    msgs = e.select("dst", F.col("src").alias("msg"))
+    topk = gather_topk_messages(msgs, k=3, key="dst", msg_col="msg", salt=4)
+    return topk.select(
+        F.col("dst").alias("id"),
+        F.posexplode("topk").alias("rank", "neighbor_id"),
+    ).select((F.col("rank") + 1).cast("long").alias("rank"), "id", "neighbor_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1303,6 +1382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "jaccard_near_dup": q_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "neighbor_topk": q_neighbor_topk,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
@@ -1397,6 +1478,14 @@ FROM documents""",
 SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "jaccard_near_dup": _JACCARD_SQL,
         "minhash_lsh": _MINHASH_SQL,
+        "dedup_clusters": _dedup_clusters_sql(4),
+        "neighbor_topk": f"""WITH {_GRAPH},
+r AS (
+  SELECT dst AS id, src AS neighbor_id,
+         row_number() OVER (PARTITION BY dst ORDER BY src DESC) AS rank
+  FROM edges
+)
+SELECT rank::BIGINT AS rank, id, neighbor_id FROM r WHERE rank <= 3""",
         "simhash": _simhash_sql(),
         "ann_topk": _ANN_SQL,
         "ivf_assign": _IVF_SQL,
