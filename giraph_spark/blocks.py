@@ -123,7 +123,13 @@ def filtering(pred: Column, block: Block) -> Block:
                 inside = v.where(pred)
                 outside = v.where(~F.coalesce(pred, F.lit(False)))
                 out, stats = _p(inside, s)
-                return out.unionByName(outside), stats
+                merged = out.unionByName(outside)
+                # a narrow union SUMS partition counts, so chained
+                # filtering pieces (e.g. striped blocks) double the
+                # width per piece — rebound to the input's width
+                # (coalesce is narrow: no shuffle)
+                n = v.rdd.getNumPartitions()
+                return merged.coalesce(max(n, 1)), stats
 
             yield wrapped
 
@@ -138,6 +144,31 @@ def remove_vertices(pred: Column) -> Block:
         return kept, {}
 
     return piece(p)
+
+
+def striped(stripes: int, make_block: Callable[[Column], Block]) -> Block:
+    """StripingUtils analog — run a block once per hash-stripe of the
+    vertex set (``library/striping/StripingUtils.java:66-137``:
+    ``fastHashStripingPredicate`` splits vertices into ``stripes``
+    deterministic hash groups and ``generateStripedBlock`` runs the
+    block per group, bounding per-superstep message memory).
+
+    ``make_block`` receives the stripe's membership predicate (a boolean
+    Column over ``id``) and returns the block for that stripe — typically
+    ``filtering(pred, ...)`` so only the stripe's vertices act while all
+    state stays resident. The stripe key is the same stable integer mix
+    used by the engine's salted gather, so retried tasks agree on
+    membership.
+    """
+
+    def stripe_pred(i: int) -> Column:
+        return F.pmod(F.xxhash64(F.col("id")), F.lit(stripes)) == i
+
+    def gen() -> Iterator[Piece]:
+        for i in range(stripes):
+            yield from make_block(stripe_pred(i))()
+
+    return gen
 
 
 def reduce_and_broadcast(

@@ -263,6 +263,7 @@ def run_supersteps(
                 print(f"[pregel] resuming from checkpoint superstep={superstep}")
 
     current = vertices.persist()
+    start_partitions = current.rdd.getNumPartitions()
     history: list[dict[str, Any]] = []
     converged = False
     last_saved = superstep if (resume and ckpt is not None) else None
@@ -301,6 +302,14 @@ def run_supersteps(
             # Measured: without the cut, analysis grows ~+3s/superstep on a
             # 16M-edge graph, while the cut itself reuses the cached
             # partitions and costs well under a second — hence every step.
+            # defensive width bound: a step that unions frames (narrow
+            # union sums partition counts) would otherwise compound the
+            # width superstep over superstep until the cut materializes
+            # tens of thousands of tiny blocks; coalesce is narrow (no
+            # shuffle) and a no-op while the width stays sane
+            n_parts = current.rdd.getNumPartitions()
+            if n_parts > 8 * max(start_partitions, 1):
+                current = current.coalesce(start_partitions)
             cut = current.localCheckpoint(eager=True)
             current.unpersist()
             current = cut

@@ -120,3 +120,18 @@ def test_gather_topk_messages_salted_equivalent(spark):
     assert plain == want
     asc = {r.dst: list(r.topk) for r in gather_topk_messages(msgs, 4, ascending=True, salt=4).collect()}
     assert asc == {d: sorted(v)[:4] for d, v in {k: [m for dd, m in rows if dd == k] for k in want}.items()}
+
+
+def test_striped_block_covers_all_vertices_once(spark):
+    """StripingUtils.java:66-137 — every vertex is in exactly one stripe,
+    so a striped increment touches each vertex exactly once, in
+    `stripes` sequential pieces."""
+    from giraph_spark.blocks import striped
+
+    v0 = spark.createDataFrame([(i, 0) for i in range(32)], "id long, x long")
+    inc = for_all_vertices(lambda df: df.withColumn("x", F.col("x") + 1))
+    blk = striped(4, lambda pred: filtering(pred, inc))
+    run = run_block(spark, v0, blk)
+    rows = run.vertices.collect()
+    assert len(rows) == 32 and all(r.x == 1 for r in rows)
+    assert run.supersteps == 5  # 4 stripe pieces + end-detection
