@@ -899,6 +899,15 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices
 
 
+def q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCC via alternating large-star/small-star contraction — O(log n)
+    rounds vs the frontier variant's diameter bound; identical output."""
+    from giraph_spark.algorithms.wcc import connected_components_star
+
+    run = connected_components_star(spark, demo_edges(spark, sf_dir), num_partitions=NP)
+    return run.vertices
+
+
 def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = label_propagation(
         spark, demo_edges(spark, sf_dir), max_supersteps=3, num_partitions=NP
@@ -920,6 +929,27 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_triangle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_list(demo_edges(spark, sf_dir)).agg(
         F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex local clustering coefficient — 2T(v)/(deg(v)(deg(v)-1))
+    over the symmetric graph; composes the oriented triangle count with
+    the degree aggregate (both already exchange-minimal)."""
+    e = demo_edges(spark, sf_dir)
+    tri = triangles_per_vertex(e)
+    deg = symmetrize(e).groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return tri.join(deg, "id").select(
+        "id",
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1.0)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("lcc"),
     )
 
 
@@ -1078,6 +1108,23 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, centroids)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search through the cell-restricted candidate path at full
+    probe (n_probe = all cells) — must equal brute force exactly, so the
+    brute-force SQL is its oracle; partial-probe recall is covered by
+    pytest (test_kmeans_trained_ivf_recall)."""
+    from giraph_spark.embeddings import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    out = ivf_topk(emb, emb.where(F.col("vec_id") < 3), cents, k=5, n_probe=8)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "cosine"
+    )
+
+
 def q_coarsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph coarsening: collapse the demo graph into 64 clusters
     (cluster = id % 64); coarsened edge weight = original edge count."""
@@ -1121,6 +1168,41 @@ def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return lsh_cosine_pairs(
         _emb(spark, sf_dir), threshold=0.4, dim=64, planes=32, bands=16, seed=42
+    )
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% corpus split by content-hash fraction — stable
+    across runs/partitionings/engines (train/eval split contract)."""
+    from giraph_spark.pipeline import sample_by_hash
+
+    return sample_by_hash(_docs(spark, sf_dir), "doc_id", 0.2).select(
+        "doc_id", "lang"
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling rates (en 50%, fr 25%,
+    rest 10%) — the multilingual rebalancing step of a corpus pipeline."""
+    from giraph_spark.pipeline import stratified_sample_by_hash
+
+    return stratified_sample_by_hash(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "lang",
+        {"en": 0.5, "fr": 0.25},
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
+def q_doc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token(char)-budget shard packing via the two-level distributed
+    prefix sum (no single-partition global window)."""
+    from giraph_spark.pipeline import pack_shards
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return pack_shards(docs, "doc_id", "n_chars", budget=50_000).select(
+        "doc_id", "shard"
     )
 
 
@@ -1363,10 +1445,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_randomwalk": q_pagerank_randomwalk,
         "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
+        "wcc_star": q_wcc_star,
         "lpa": q_lpa,
         "maxlabel": q_maxlabel,
         "triangles": q_triangles,
         "triangle_global": q_triangle_global,
+        "clustering_coeff": q_clustering_coeff,
         "sssp": q_sssp,
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
@@ -1387,10 +1471,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
         "ivf_assign": q_ivf_assign,
+        "ivf_topk": q_ivf_topk,
         "kmeans_ivf": q_kmeans_ivf,
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "coarsen": q_coarsen,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "doc_shards": q_doc_shards,
         "sessionize": q_sessionize,
         "event_rollup": q_event_rollup,
         "scc": q_scc,
@@ -1414,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_randomwalk": _rw_pagerank_sql(8),
         "pagerank_weighted": _pagerank_weighted_sql(4),
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
+        "wcc_star": _minlabel_sql(20, "sym", "least", "component"),
         "lpa": _lpa_sql(3),
         "maxlabel": _minlabel_sql(30, "edges", "greatest", "label"),
         "triangles": f"""WITH {_GRAPH},
@@ -1438,6 +1527,27 @@ SELECT count(*)::BIGINT AS n_triangles
 FROM o e1
 JOIN o e2 ON e2.a = e1.b
 JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        "clustering_coeff": f"""WITH {_GRAPH},
+{_SYM},
+o AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+tri AS MATERIALIZED (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM o e1
+  JOIN o e2 ON e2.a = e1.b
+  JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT id, count(*) AS cnt FROM corners GROUP BY id),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)
+SELECT v.id,
+       round(CASE WHEN d.deg >= 2
+                  THEN 2.0 * coalesce(t.cnt, 0) / (d.deg * (d.deg - 1.0))
+                  ELSE 0.0 END, 6) AS lcc
+FROM verts v
+LEFT JOIN tcnt t ON t.id = v.id
+JOIN deg d ON d.id = v.id""",
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),
         "out_degrees": f"""WITH {_GRAPH}
@@ -1489,12 +1599,21 @@ SELECT rank::BIGINT AS rank, id, neighbor_id FROM r WHERE rank <= 3""",
         "simhash": _simhash_sql(),
         "ann_topk": _ANN_SQL,
         "ivf_assign": _IVF_SQL,
+        "ivf_topk": _ANN_SQL,
         "kmeans_ivf": _kmeans_assign_sql(8, 4, 7),
         "cosine_near_dup": _COSINE_PAIRS_SQL,
         "cosine_near_dup_lsh": _COSINE_PAIRS_SQL,
         "coarsen": f"""WITH {_GRAPH}
 SELECT (src % 64) AS src, (dst % 64) AS dst, count(*)::BIGINT AS weight
 FROM edges GROUP BY (src % 64), (dst % 64)""",
+        "sample_split": "SELECT doc_id, lang FROM documents WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT / 1152921504606846976.0) < 0.2",
+        "sample_stratified": """SELECT doc_id, lang FROM documents
+WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT / 1152921504606846976.0)
+      < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END)""",
+        "doc_shards": """SELECT doc_id,
+       CAST(floor((sum(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_chars) / 50000.0) AS BIGINT) AS shard
+FROM documents""",
         "sessionize": _SESSION_SQL,
         "event_rollup": _ROLLUP_SQL,
         "scc": _SCC_SQL,

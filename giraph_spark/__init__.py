@@ -16,12 +16,22 @@ Modules
                   ``giraph-block-app-8/.../prepare_graph/PrepareGraphPieces.java``)
 - ``pregel``      the BSP superstep engine (Computation/Combiner/MasterCompute
                   semantics of ``giraph-core/.../graph/Computation.java``)
+- ``blocks``      composable superstep combinators (Blocks framework)
+- ``reducers``    aggregator/reducer library incl. matrix/vector reduce
 - ``checkpoint``  superstep snapshots with per-partition lineage + metrics
-- ``algorithms``  PageRank, WCC, label propagation, triangles, SSSP, BFS, ...
-- ``textops``     training-data pipeline: dedup (exact/minhash/simhash/jaccard),
-                  text quality, language id, token counts, fingerprints
-- ``vectors``     embedding similarity search (brute-force + LSH-bucketed)
+- ``storage``     bucketed-by-src persisted edge tables; partitioner selection
+- ``mutation``    mid-run add/remove requests with VertexResolver order
+- ``io_formats``  text/adjacency/JSON readers, id-value/Graphviz writers
+- ``algorithms``  PageRank variants, WCC (frontier + alternating-star), LPA,
+                  triangles, SSSP, BFS, SCC, MIS, PPR, deadlock detection
+- ``text``        token stats, quality scoring, language id, fingerprints
+- ``dedup``       exact / n-gram Jaccard / MinHash-LSH / SimHash near-dup
+- ``embeddings``  cosine top-k, k-means + IVF ANN, cosine near-dup (+LSH)
+- ``pipeline``    deterministic sampling, distributed prefix sum, shard packing
 - ``multimodal``  binary-column (image/audio) plumbing with stubbed decoders
+- ``streaming``   Structured Streaming ingest/windows + stateful Pandas ops
+- ``datasets``    oracle-checkable demo tables + synthetic link-graph generator
+- ``main``        spark-submit CLI (GiraphRunner analog)
 """
 
 __version__ = "0.1.0"

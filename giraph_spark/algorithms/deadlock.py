@@ -147,7 +147,12 @@ def bracha_toueg_free(
             eager=True
         )
         new_remaining_cut = new_remaining.localCheckpoint(eager=True)
-        new_free = free.union(new_frontier).localCheckpoint(eager=True)
+        # coalesce: the narrow union SUMS partition counts, so the free
+        # accumulator would otherwise widen every round (no-op while
+        # within num_partitions)
+        new_free = (
+            free.union(new_frontier).coalesce(num_partitions).localCheckpoint(eager=True)
+        )
         new_count = new_free.count()
         frontier_count = new_count - free_count
         free_count = new_count

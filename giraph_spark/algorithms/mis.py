@@ -90,8 +90,11 @@ def maximal_independent_set(
         # winners slot is safe to recycle first
         winners = cuts.cut(undecided.join(beaten, "id", "left_anti"), "winners")
         part = winners.select("id")
+        # coalesce: narrow union sums partition counts, so the in_set
+        # accumulator would otherwise widen every round
+        p_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
         in_set = cuts.cut(
-            part if in_set is None else in_set.union(part), "in_set"
+            part if in_set is None else in_set.union(part).coalesce(p_max), "in_set"
         )
         # winners and their neighbors become decided
         nbrs = (

@@ -117,6 +117,7 @@ def strongly_connected_components(
     """(id, scc) over the directed edge table; exact for any digraph
     reachable within ``max_iters`` propagation steps per round."""
     cuts = _Cuts()
+    p_max = int(spark.conf.get("spark.sql.shuffle.partitions"))
     active_edges = cuts.cut(edges.select("src", "dst"), "edges")
     active = cuts.cut(vertices_from_edges(active_edges), "active")
     n_active = active.count()
@@ -139,7 +140,10 @@ def strongly_connected_components(
             # cut that `part` reads is still alive (re-cutting the
             # "active" slot below releases those blocks)
             settled = cuts.cut(
-                part if settled is None else settled.union(part), "settled"
+                # coalesce: narrow union sums partition counts; bound the
+                # accumulator's width across trim iterations
+                part if settled is None else settled.union(part).coalesce(p_max),
+                "settled",
             )
             new_active = cuts.cut(active.join(trivial, "id", "left_anti"), "active")
             n_new = new_active.count()
@@ -176,7 +180,7 @@ def strongly_connected_components(
             .where(F.col("lab") == F.col("color"))
             .select("id", F.col("color").alias("scc"))
         )
-        settled = scc if settled is None else settled.union(scc)
+        settled = scc if settled is None else settled.union(scc).coalesce(p_max)
         settled = cuts.cut(settled, "settled")
 
         # 4. peel — ONE count on the fresh cut is both the round's halt

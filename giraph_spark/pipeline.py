@@ -1,0 +1,139 @@
+"""Training-data pipeline primitives: deterministic sampling, distributed
+prefix sums, and token-budget shard packing.
+
+These are the operations a 100 TB corpus pipeline runs between dedup and
+training: carve reproducible train/eval splits, and pack documents into
+fixed-token-budget shards for the data loader. None exist in the
+reference (its scope ends at graph analytics); all are built so the SAME
+rule is expressible in ANSI SQL for the oracle gate.
+
+Scale notes:
+- sampling is a pure row-local hash filter — no shuffle, fully pushed
+  into the scan stage;
+- the prefix sum is TWO-LEVEL: per-range-partition running totals plus a
+  broadcast of the (tiny) per-partition offsets — never a global
+  ``Window.orderBy`` over one partition, which is the classic
+  single-reducer scale bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_fraction(col: Column | str) -> Column:
+    """Deterministic per-row fraction in [0, 1): the first 60 bits of
+    md5(value) — identical in Spark and DuckDB/ANSI SQL
+    (``conv(substring(md5(x),1,15),16,10) / 2^60``), unlike xxhash64
+    (Spark-only) or rand() (nondeterministic).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("double")
+        / F.lit(float(1 << 60))
+    )
+
+
+def sample_by_hash(df: DataFrame, key: str, fraction: float) -> DataFrame:
+    """Reproducible sample: keep rows with hash_fraction(key) < fraction.
+
+    Unlike ``df.sample`` this is stable across runs, partitionings, and
+    engines, and the complement (>=) is the exact disjoint remainder —
+    the train/eval split contract.
+    """
+    return df.where(hash_fraction(key) < F.lit(float(fraction)))
+
+
+def stratified_sample_by_hash(
+    df: DataFrame, key: str, stratum: str, fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates for a
+    multilingual corpus). Row-local: rate lookup is a CASE expression,
+    no join, no shuffle."""
+    rate = F.lit(float(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        rate = F.when(F.col(stratum) == value, F.lit(float(frac))).otherwise(rate)
+    return df.where(hash_fraction(key) < rate)
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running total of ``val_col`` in ``order_col`` order,
+    WITHOUT a single-partition global window.
+
+    Two-level: range-repartition on the (unique) order key so partition
+    i holds strictly smaller keys than partition i+1, take a
+    partition-local running sum, then add each partition's starting
+    offset (the classic distributed scan: per-partition totals are
+    ``num_partitions`` rows — broadcast back). Result is independent of
+    the sampled range boundaries.
+    """
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    d = df.repartitionByRange(num_partitions, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = d.withColumn(
+        "_local",
+        F.sum(val_col).over(
+            Window.partitionBy("_pid")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    totals = local.groupBy("_pid").agg(F.max("_local").alias("_tot"))
+    offsets = totals.select(
+        "_pid",
+        (
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            )
+        ).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    budget: int,
+    shard_col: str = "shard",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign rows (documents) to consecutive token-budget shards in
+    ``order_col`` order — fixed-stride packing: shard k owns the rows
+    whose preceding cumulative weight falls in [k*budget, (k+1)*budget),
+    i.e. ``shard = floor((cumsum - weight) / budget)``. Every shard's
+    total is < budget + max single weight, shards are contiguous in the
+    order key, and (unlike the sequential greedy packer) the rule is a
+    pure function of the global prefix sum — embarrassingly parallel and
+    expressible in ANSI SQL for the oracle.
+    """
+    cum = prefix_sum(
+        df, order_col, weight_col, out_col="_cum", num_partitions=num_partitions
+    )
+    return cum.withColumn(
+        shard_col,
+        F.floor((F.col("_cum") - F.col(weight_col)) / F.lit(int(budget))).cast(
+            "long"
+        ),
+    ).drop("_cum")

@@ -248,6 +248,17 @@ def run_supersteps(
     superstep — it would fail with "checkpoint block not found". Derive
     everything you need within the superstep (or from ``PregelRun.
     vertices`` after the loop).
+
+    Fault tolerance at cluster scale: ``localCheckpoint`` blocks are
+    executor-local and NOT fault-tolerant — between reliable snapshots,
+    one lost executor aborts the run (the job then restarts from the
+    newest ``checkpoint_dir`` snapshot via ``resume=True``, Giraph's
+    checkpoint-restart contract, BspServiceMaster superstep recovery).
+    On a 1000-executor cluster size ``checkpoint_interval`` by
+    (executor MTBF / superstep time): the cost of a reliable snapshot
+    every k supersteps buys losing at most k supersteps of work, while
+    the per-superstep local cut only bounds plan growth. local[*] runs
+    can ignore this (one JVM = no partial loss).
     """
     ckpt = (
         CheckpointManager(spark, checkpoint_dir, checkpoint_interval)

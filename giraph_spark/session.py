@@ -32,9 +32,15 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
+    builder = SparkSession.builder.appName(app_name)
+    # Under spark-submit the gateway JVM is already up with the submitted
+    # conf (--master yarn/k8s/...); PYSPARK_GATEWAY_PORT marks that path
+    # (pyspark/java_gateway.py) and the master must NOT be overridden.
+    # Bare `python` runs get the local[cores] default.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -65,6 +65,29 @@ def read_bucketed_edges(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def partition_edges(
+    edges: DataFrame, num_partitions: int, strategy: str = "hash"
+) -> DataFrame:
+    """In-memory partitioner selection — the reference's pluggable
+    partitioner factories:
+
+    - ``hash``:  owner = hash(src) % partitions
+      (``partition/HashPartitionerFactory.java:36-43``)
+    - ``range``: contiguous src ranges per partition, sampled bounds
+      (``partition/SimpleRangePartitionerFactory.java:38-76``; tested by
+      ``partition/SimpleRangePartitionFactoryTest.java``)
+
+    Hash is the default for link graphs (url-hash ids are uniform);
+    range keeps adjacent ids co-located, which the reference uses when
+    ids encode locality (e.g. crawl order) — same tradeoff here.
+    """
+    if strategy == "hash":
+        return edges.repartition(num_partitions, "src")
+    if strategy == "range":
+        return edges.repartitionByRange(num_partitions, "src")
+    raise ValueError(f"unknown partition strategy {strategy!r} (hash|range)")
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Number of shuffle Exchange operators in the physical plan (broadcast
     exchanges excluded — they move no partitioned data) — the plan-shape

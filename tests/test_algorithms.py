@@ -240,3 +240,38 @@ def test_bfs_hops(spark):
     run = bfs(spark, _edges_df(spark, edges), seeds=1)
     got = {r["id"]: r["hops"] for r in run.vertices.collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 3, 9: -1, 10: -1}
+
+
+def test_wcc_star_matches_frontier_on_random_graph(spark):
+    """Alternating large/small-star == frontier min-label on arbitrary
+    digraphs (same (id, component) contract)."""
+    from giraph_spark.algorithms.wcc import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 300
+    rows = sorted(
+        {((i * 13 + 7) % n, (i * 29 + 3) % n) for i in range(420)} - {(i, i) for i in range(n)}
+    )
+    e = spark.createDataFrame(rows, "src long, dst long")
+    want = {
+        r.id: r.component
+        for r in connected_components(spark, e, max_supersteps=60).vertices.collect()
+    }
+    got_run = connected_components_star(spark, e)
+    got = {r.id: r.component for r in got_run.vertices.collect()}
+    assert got == want
+
+
+def test_wcc_star_log_rounds_on_chain(spark):
+    """A 2048-vertex chain needs ~2048 frontier supersteps but only
+    O(log n) alternating-star rounds — the scale-path property."""
+    from giraph_spark.algorithms.wcc import connected_components_star
+
+    n = 2048
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "src long, dst long")
+    run = connected_components_star(spark, e)
+    labels = {r.id: r.component for r in run.vertices.collect()}
+    assert set(labels.values()) == {0} and len(labels) == n
+    assert run.supersteps <= 15, f"took {run.supersteps} rounds"

@@ -82,3 +82,59 @@ def test_cli_deadlock(spark, tmp_path, capsys):
     assert printed["algorithm"] == "deadlock" and printed["converged"]
     free = {r.id: r.is_free for r in spark.read.parquet(out).collect()}
     assert free == {1: False, 2: False, 3: False, 4: True}
+
+
+def test_cli_via_spark_submit_py_files(tmp_path):
+    """The north-rule launch path, literally: zip the package, spark-submit
+    --py-files it, read the parquet output back (fresh JVM, no shared
+    session state with the test suite)."""
+    import os
+    import shutil
+    import subprocess
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pyspark
+
+        spark_submit = os.path.join(
+            os.path.dirname(pyspark.__file__), "bin", "spark-submit"
+        )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = str(tmp_path / "gs.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(repo, "giraph_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                full = os.path.join(root, fn)
+                z.write(full, os.path.relpath(full, repo))
+
+    # tiny edge table written by plain pyarrow (no Spark session needed)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ep = str(tmp_path / "edges.parquet")
+    pq.write_table(
+        pa.table({"src": [1, 2, 3, 3], "dst": [2, 3, 1, 4]}), ep
+    )
+    out = str(tmp_path / "ranks")
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    res = subprocess.run(
+        [
+            spark_submit, "--master", "local[2]", "--py-files", zpath,
+            os.path.join(repo, "giraph_spark", "main.py"),
+            "pagerank", "--edges", ep, "--output", out,
+            "--max-supersteps", "50", "--tolerance", "1e-4",
+            "--num-partitions", "2",
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import duckdb
+
+    ranks = duckdb.sql(
+        f"SELECT sum(rank) AS s, count(*) AS n FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()
+    assert ranks[1] == 4 and abs(ranks[0] - 4.0) < 1e-6

@@ -141,3 +141,22 @@ def test_worker_hooks_lifecycle(spark):
         "preApp", "pre0", "post0", "pre1", "post1", "pre2", "post2", "postApp",
     ]
     assert [h["flag"] for h in run.history] == [0, 1, 2]
+
+
+def test_lineage_cut_bounds_partition_width(spark):
+    """A step that unions frames (narrow union sums partition counts)
+    must not compound width superstep over superstep — the lineage cut
+    coalesces back past 8x the initial width."""
+    from giraph_spark.pregel import run_supersteps
+
+    v0 = spark.createDataFrame([(i, 0) for i in range(8)], "id long, v long").repartition(4)
+
+    def widening_step(vertices, superstep):
+        half_a = vertices.where(F.col("id") % 2 == 0)
+        half_b = vertices.where(F.col("id") % 2 == 1)
+        nv = half_a.unionByName(half_b)  # width = 2x input every superstep
+        return nv, {"n": nv.count()}
+
+    run = run_supersteps(spark, v0, widening_step, max_supersteps=10)
+    assert run.vertices.count() == 8
+    assert run.vertices.rdd.getNumPartitions() <= 8 * 4

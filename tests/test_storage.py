@@ -67,3 +67,27 @@ def test_bucketed_wcc_matches_plain(spark):
     c = {r.id: r.component for r in buck.vertices.collect()}
     assert a == c
     edges.unpersist()
+
+
+def test_partition_edges_strategies(spark):
+    from giraph_spark.storage import partition_edges
+
+    e = spark.createDataFrame(
+        [(i % 40, (i * 7) % 40) for i in range(400)], "src long, dst long"
+    )
+    for strat in ("hash", "range"):
+        p = partition_edges(e, 8, strategy=strat)
+        assert p.rdd.getNumPartitions() == 8
+        assert p.count() == 400
+    # range: partitions hold contiguous, non-overlapping src ranges
+    p = partition_edges(e, 8, strategy="range")
+    bounds = p.rdd.mapPartitions(
+        lambda it: [(lambda xs: (min(xs), max(xs)) if xs else None)([r.src for r in it])]
+    ).collect()
+    bounds = sorted(b for b in bounds if b is not None)
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 <= lo2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        partition_edges(e, 8, strategy="nope")
