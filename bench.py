@@ -68,6 +68,22 @@ def main() -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     extra["num_partitions"] = nparts
 
+    # --- JIT warm-up (disclosed, timed separately) -------------------------
+    # C2-compile the superstep pipeline on a small slice first: a
+    # production job amortizes codegen over hours; without this the
+    # headline conflates one-time JIT (~7s) with steady-state throughput
+    # (same rule as the scaling protocol's excluded warm-up supersteps).
+    t0 = time.time()
+    pagerank(
+        spark,
+        edges.limit(20_000),
+        damping=0.85,
+        max_supersteps=6,
+        tolerance=None,
+        num_partitions=nparts,
+    )
+    timings["jit_warmup"] = time.time() - t0
+
     # --- headline: PageRank to 1e-6 convergence ---------------------------
     t0 = time.time()
     pr = pagerank(
