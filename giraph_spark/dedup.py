@@ -97,19 +97,32 @@ def minhash_signatures(docs: DataFrame, bands: int = 8, n: int = 3) -> DataFrame
     is engine-portable (pure string comparison on lowercase hex).
     """
     sh = shingles(docs, n)
-    band_df = (
-        sh.crossJoin(
-            F.broadcast(
-                sh.sparkSession.range(bands).select(F.col("id").cast("int").alias("band"))
-            )
-        )
-        .select(
-            "doc_id",
-            "band",
-            F.md5(F.concat_ws(":", F.col("band"), F.col("shingle"))).alias("h"),
-        )
+    # all `bands` minima in ONE map-side-combinable groupBy pass: the
+    # naive explode-by-band ships bands x |shingles| rows through the
+    # shuffle; conditional min aggregates ship one partial row per
+    # (doc, map task) regardless of band count
+    per_doc = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(b)), F.col("shingle")))
+            ).alias(f"_s{b}")
+            for b in range(bands)
+        ]
     )
-    return band_df.groupBy("doc_id", "band").agg(F.min("h").alias("signature"))
+    return per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.col(f"_s{b}").alias("signature"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bs"),
+    ).select("doc_id", F.col("_bs.band").alias("band"), F.col("_bs.signature").alias("signature"))
 
 
 def minhash_lsh_pairs(
