@@ -21,9 +21,12 @@ from pyspark.sql import functions as F
 
 from giraph_spark.reducers import arg_max, reducer, top_n
 
+# derandomize: the suite must be deterministically green run-over-run —
+# examples are generated from a fixed seed, not the wall clock
 SET = settings(
     max_examples=12,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow],
 )
 
@@ -103,7 +106,7 @@ def test_top_n_and_argmax_match_python(spark, xs, n):
     assert math.isfinite(am.v)
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=5, deadline=None, derandomize=True, suppress_health_check=[HealthCheck.too_slow])
 @given(
     edges=st.lists(
         st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(
