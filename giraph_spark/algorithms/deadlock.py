@@ -168,9 +168,15 @@ def bracha_toueg_free(
     result = verts.join(
         free.withColumn("is_free", F.lit(True)), "id", "left"
     ).select("id", F.coalesce("is_free", F.lit(False)).alias("is_free"))
-    result = result.persist()
-    result.count()
-    for df in (verts, notified, en):
+    # lineage cut (not just persist): the final round's checkpoint blocks
+    # and the round-0 persisted frames are released below, so the result
+    # must not depend on them for recompute
+    result = result.localCheckpoint(eager=True)
+    for df in cuts:  # final round's cuts, superseded by the result cut
+        jrdd = _checkpointed_jrdd(df)
+        if jrdd is not None:
+            jrdd.unpersist(False)
+    for df in (verts, notified, en, free, remaining):
         df.unpersist()
     return PregelRun(vertices=result, supersteps=supersteps, converged=converged)
 

@@ -57,7 +57,7 @@ def maximal_independent_set(
     """(id, in_set: boolean) — a maximal independent set of the
     undirected graph: no two set members are adjacent, every non-member
     has a set neighbor."""
-    from giraph_spark.algorithms.scc import _Cuts
+    from giraph_spark.pregel import LineageCuts as _Cuts
 
     cuts = _Cuts()
     e = symmetrize(edges) if symmetrize_input else edges.select("src", "dst")

@@ -36,33 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giraph_spark.graph import vertices_from_edges
-from giraph_spark.pregel import _checkpointed_jrdd
-
-
-class _Cuts:
-    """Per-slot localCheckpoint bookkeeping with explicit block release."""
-
-    def __init__(self) -> None:
-        self._handles: dict[str, object] = {}
-
-    def cut(self, df: DataFrame, slot: str) -> DataFrame:
-        out = df.localCheckpoint(eager=True)
-        prev = self._handles.get(slot)
-        if prev is not None:
-            prev.unpersist(False)  # type: ignore[attr-defined]
-        self._handles[slot] = _checkpointed_jrdd(out)
-        return out
-
-    def forget(self, slot: str) -> None:
-        """Stop tracking (the cut's blocks outlive this run — e.g. the
-        result) without releasing them."""
-        self._handles.pop(slot, None)
-
-    def release(self, slot: str) -> None:
-        """Free a slot's blocks now (nothing downstream reads them)."""
-        prev = self._handles.pop(slot, None)
-        if prev is not None:
-            prev.unpersist(False)  # type: ignore[attr-defined]
+from giraph_spark.pregel import LineageCuts as _Cuts
 
 
 def _propagate(

@@ -54,13 +54,16 @@ def triangle_list(edges: DataFrame, symmetrize_input: bool = True) -> DataFrame:
     The oriented table is scanned three times (both wedge legs + the
     closing semi-join), so it is persisted eagerly — the symmetrize +
     distinct + double degree-join pipeline behind it is far more
-    expensive than one cached scan. Releasing that cache is the
-    CALLER's responsibility once the returned DataFrame is consumed;
-    prefer ``triangles_per_vertex`` / ``triangle_count``, which scope
-    and release it themselves.
+    expensive than one cached scan. The release handle is attached to
+    the returned DataFrame as ``release_oriented`` — call it once the
+    result is consumed to free the cache; prefer
+    ``triangles_per_vertex`` / ``triangle_count``, which scope and
+    release it themselves.
     """
-    o, _release = _oriented_cached(edges, symmetrize_input)
-    return _triangle_list_from(o)
+    o, release = _oriented_cached(edges, symmetrize_input)
+    out = _triangle_list_from(o)
+    out.release_oriented = release  # type: ignore[attr-defined]
+    return out
 
 
 def _oriented_cached(edges: DataFrame, symmetrize_input: bool):

@@ -158,7 +158,7 @@ def connected_components_star(
     convergence probe rides the same aggregate (count + hash-sum of the
     pair set) so a round costs exactly one action.
     """
-    from giraph_spark.algorithms.scc import _Cuts
+    from giraph_spark.pregel import LineageCuts as _Cuts
 
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))

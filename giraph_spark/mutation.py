@@ -199,6 +199,7 @@ def run_mutable_supersteps(
         t0 = time.time()
         new_v, stats, changes, msg_targets = step(v, e, superstep)
         stats = dict(stats or {})
+        release_e = None  # superseded edge cut; freed only after new_v
         if changes is not None and not changes.empty():
             new_v, new_e = resolve_mutations(
                 new_v,
@@ -211,8 +212,11 @@ def run_mutable_supersteps(
             )
             new_e = new_e.localCheckpoint(eager=True)
             e.unpersist()
-            if prev_e_cut is not None:
-                prev_e_cut.unpersist(False)
+            # do NOT release the superseded edge cut yet: new_v's lazy
+            # plan (built by step/resolver against the OLD e) has not
+            # materialized — freeing its blocks now would fail the
+            # new_v localCheckpoint below with "checkpoint block not found"
+            release_e = prev_e_cut
             prev_e_cut = _checkpointed_jrdd(new_e)
             e = new_e
         elif create_on_message and msg_targets is not None:
@@ -225,6 +229,8 @@ def run_mutable_supersteps(
                 recreate_removed_on_message=recreate_removed_on_message,
             )
         new_v = new_v.localCheckpoint(eager=True)
+        if release_e is not None:
+            release_e.unpersist(False)
         if prev_v_cut is not None:
             prev_v_cut.unpersist(False)
         prev_v_cut = _checkpointed_jrdd(new_v)

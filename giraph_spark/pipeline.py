@@ -90,7 +90,11 @@ def prefix_sum(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    totals = local.groupBy("_pid").agg(F.max("_local").alias("_tot"))
+    # partition total = sum of values (NOT max of the running sum, which
+    # is wrong for signed val_col); computed from d, not the window output
+    totals = d.groupBy("_pid").agg(
+        F.coalesce(F.sum(val_col), F.lit(0)).alias("_tot")
+    )
     offsets = totals.select(
         "_pid",
         (

@@ -112,6 +112,15 @@ def gather_topk_messages(
     any reducer's input to fan-in/S), then merge the S bounded lists.
     Bounded top-k merge is associative, so the result is exactly the
     unsalted one. Returns (key, topk: array<msg type>).
+
+    Degeneration caveat: the salt is a pure function of row CONTENT
+    (required for exactly-once semantics under task retry, SPARK-23207
+    class), so byte-identical duplicate messages share one salt bucket.
+    A hot key whose fan-in is dominated by ONE repeated value degrades
+    to the unsalted plan; distinct-valued hot keys (the normal top-k
+    workload) spread uniformly. If duplicate-heavy gathers matter,
+    pre-collapse them with an algebraic ``groupBy(key, msg).count()``
+    (map-side combinable) before the top-k.
     """
     order_desc = not ascending
 
@@ -181,6 +190,38 @@ def _checkpointed_jrdd(df: DataFrame):
         return df._jdf.queryExecution().analyzed().rdd()  # noqa: SLF001
     except Exception:  # noqa: BLE001
         return None
+
+
+class LineageCuts:
+    """Per-slot localCheckpoint bookkeeping with explicit block release.
+
+    The engine-level mechanism behind every iterative driver loop
+    (scc/mis/wcc-star): ``cut(df, slot)`` eagerly checkpoints ``df`` and
+    frees the slot's previous blocks (``DataFrame.unpersist`` cannot --
+    checkpoint RDD blocks are only reachable via the java handle).
+    """
+
+    def __init__(self) -> None:
+        self._handles: dict[str, object] = {}
+
+    def cut(self, df: DataFrame, slot: str) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        prev = self._handles.get(slot)
+        if prev is not None:
+            prev.unpersist(False)  # type: ignore[attr-defined]
+        self._handles[slot] = _checkpointed_jrdd(out)
+        return out
+
+    def forget(self, slot: str) -> None:
+        """Stop tracking (the cut's blocks outlive this run — e.g. the
+        result) without releasing them."""
+        self._handles.pop(slot, None)
+
+    def release(self, slot: str) -> None:
+        """Free a slot's blocks now (nothing downstream reads them)."""
+        prev = self._handles.pop(slot, None)
+        if prev is not None:
+            prev.unpersist(False)  # type: ignore[attr-defined]
 
 
 @dataclass
@@ -318,11 +359,14 @@ def run_supersteps(
             # width superstep over superstep until the cut materializes
             # tens of thousands of tiny blocks; coalesce is narrow (no
             # shuffle) and a no-op while the width stays sane
+            persisted = current  # keep a handle: unpersist must target the
+            # CACHED frame, not a coalesce built on top of it (coalesce is
+            # a different plan — unpersisting it is a no-op and leaks)
             n_parts = current.rdd.getNumPartitions()
             if n_parts > 8 * max(start_partitions, 1):
                 current = current.coalesce(start_partitions)
             cut = current.localCheckpoint(eager=True)
-            current.unpersist()
+            persisted.unpersist()
             current = cut
             # release the PREVIOUS cut's checkpointed RDD: unlike persist(),
             # localCheckpoint blocks are not freed by DataFrame.unpersist,

@@ -174,3 +174,32 @@ def test_coarsen_graph_reference_fixture(spark):
     # drop self loops variant
     _, ce2 = coarsen_graph(verts, edges, mapping, keep_self_loops=False)
     assert all(r.src != r.dst for r in ce2.collect())
+
+
+def test_mutating_step_that_reads_edges_two_supersteps(spark):
+    """Regression: two consecutive edge-mutating supersteps whose step
+    reads the edge table. The superseded edge cut must stay alive until
+    the new vertex state materializes (release-before-materialize raced
+    with 'checkpoint block not found')."""
+    from giraph_spark.mutation import GraphChanges, run_mutable_supersteps
+
+    v0 = spark.createDataFrame([(i, 0) for i in range(6)], "id long, val long")
+    e0 = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+
+    def step(v, e, superstep):
+        # message-passing step: reads BOTH carried tables lazily
+        deg = e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("d"))
+        nv = (
+            v.join(deg, "id", "left")
+            .select("id", (F.col("val") + F.coalesce("d", F.lit(0))).alias("val"))
+        )
+        # drop one edge per superstep -> the edge table mutates every round
+        drop = e.limit(1).select("src", "dst")
+        return nv, {}, GraphChanges(remove_edges=drop), None
+
+    run = run_mutable_supersteps(spark, v0, e0, step, max_supersteps=3)
+    assert run.supersteps == 3
+    assert run.edges.count() == 3  # 6 edges - one per superstep
+    assert run.vertices.count() == 6

@@ -81,3 +81,16 @@ def test_pack_shards_budget_and_contiguity(spark):
     for s, t in totals.items():
         if s != max(shards):
             assert t >= budget - max_w
+
+
+def test_prefix_sum_signed_values(spark):
+    """Partition totals must be sums, not maxima of the running sum —
+    regression for signed val_col."""
+    rows = [(i, (5 if i % 2 == 0 else -3)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = {r.k: r.cumsum for r in prefix_sum(df, "k", "w", num_partitions=4).collect()}
+    acc, want = 0, {}
+    for k, w in rows:
+        acc += w
+        want[k] = acc
+    assert got == want
