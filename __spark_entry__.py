@@ -268,6 +268,31 @@ FROM verts v LEFT JOIN b{iters} b ON b.id = v.id"""
     )
 
 
+def _k_core_sql(k: int, rounds: int) -> str:
+    """Unrolled peel-to-fixpoint: ``rounds`` must exceed the peeling
+    depth (measured 5 at sf0.01 for k=20; over-provisioned)."""
+    parts = [_GRAPH, _SYM, "e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for r in range(rounds):
+        parts.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT src FROM e{r} GROUP BY src HAVING count(*) >= {k})"""
+        )
+        parts.append(
+            f"""e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN k{r} a ON a.src = e.src
+  JOIN k{r} b ON b.src = e.dst)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id, (CASE WHEN c.src IS NULL THEN 0 ELSE 1 END)::BIGINT AS in_core
+FROM verts v
+LEFT JOIN (SELECT DISTINCT src FROM e{rounds}) c ON c.src = v.id"""
+    )
+
+
 def _minlabel_sql(iters: int, edge_table: str, agg: str, out_col: str) -> str:
     """Unrolled label propagation to fixpoint: ``agg`` in {least, greatest}.
 
@@ -953,6 +978,14 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-core of the demo graph (5 peeling rounds at sf0.01) — iterative
+    degree-peel to fixpoint, one action per round."""
+    from giraph_spark.algorithms.kcore import k_core
+
+    return k_core(spark, demo_edges(spark, sf_dir), k=20, num_partitions=NP)
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_weight(demo_edges(spark, sf_dir))
     source = e.select(F.least(F.min("src"), F.min("dst")).alias("m")).collect()[0]["m"]
@@ -1451,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "triangle_global": q_triangle_global,
         "clustering_coeff": q_clustering_coeff,
+        "k_core": q_k_core,
         "sssp": q_sssp,
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
@@ -1548,6 +1582,7 @@ SELECT v.id,
 FROM verts v
 LEFT JOIN tcnt t ON t.id = v.id
 JOIN deg d ON d.id = v.id""",
+        "k_core": _k_core_sql(20, 8),
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),
         "out_degrees": f"""WITH {_GRAPH}

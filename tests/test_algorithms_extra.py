@@ -236,3 +236,36 @@ def test_matrix_and_vector_reduce(spark):
     )
     got_v = {r.pos: r.val for r in vector_reduce(vec).collect()}
     assert got_v == {0: 1.0, 1: 5.5}
+
+
+def test_k_core_matches_python_peeling(spark):
+    from giraph_spark.algorithms.kcore import k_core
+
+    n = 120
+    rows = sorted({((i * 7 + 3) % n, (i * 11 + 5) % n) for i in range(400)})
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    for k in (2, 4, 6):
+        got = {r.id: r.in_core for r in k_core(spark, e, k).collect()}
+        # python peeling model
+        import collections
+
+        adj = collections.defaultdict(set)
+        for a, b in rows:
+            adj[a].add(b)
+            adj[b].add(a)
+        deg = {v: len(s) for v, s in adj.items()}
+        nbr = {v: set(s) for v, s in adj.items()}
+        while True:
+            drop = [v for v, d in deg.items() if d < k]
+            if not drop:
+                break
+            for v in drop:
+                for u in nbr[v]:
+                    if u in deg and u not in drop:
+                        deg[u] -= 1
+                        nbr[u].discard(v)
+                deg.pop(v)
+                nbr.pop(v)
+        want = {v: (1 if v in deg else 0) for v in adj}
+        assert got == want, f"k={k}"
