@@ -293,6 +293,54 @@ LEFT JOIN (SELECT DISTINCT src FROM e{rounds}) c ON c.src = v.id"""
     )
 
 
+def _hits_sql(iters: int) -> str:
+    """Unrolled HITS power iteration: auth from hub over in-edges, hub
+    from the new (unnormalized) auth over out-edges, then L2-normalize
+    each vector — scalar normalization commutes with the hub gather, so
+    this matches giraph_spark.algorithms.hits.hits exactly."""
+    parts = [
+        _GRAPH,
+        """s0 AS MATERIALIZED (
+  SELECT id,
+         1.0 / sqrt((SELECT count(*) FROM verts)) AS auth,
+         1.0 / sqrt((SELECT count(*) FROM verts)) AS hub
+  FROM verts
+)""",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""ar{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(m.s, 0.0) AS a_raw
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(s.hub) AS s
+    FROM edges e JOIN s{k} s ON s.id = e.src GROUP BY e.dst
+  ) m ON m.id = v.id
+)"""
+        )
+        parts.append(
+            f"""hr{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(m.s, 0.0) AS h_raw
+  FROM verts v LEFT JOIN (
+    SELECT e.src AS id, sum(a.a_raw) AS s
+    FROM edges e JOIN ar{k} a ON a.id = e.dst GROUP BY e.src
+  ) m ON m.id = v.id
+)"""
+        )
+        parts.append(
+            f"""s{k + 1} AS MATERIALIZED (
+  SELECT a.id,
+         a.a_raw / (SELECT sqrt(sum(a_raw * a_raw)) FROM ar{k}) AS auth,
+         h.h_raw / (SELECT sqrt(sum(h_raw * h_raw)) FROM hr{k}) AS hub
+  FROM ar{k} a JOIN hr{k} h ON h.id = a.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(auth, 7) AS auth, round(hub, 7) AS hub FROM s{iters}"
+    )
+
+
 def _minlabel_sql(iters: int, edge_table: str, agg: str, out_col: str) -> str:
     """Unrolled label propagation to fixpoint: ``agg`` in {least, greatest}.
 
@@ -986,6 +1034,16 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(spark, demo_edges(spark, sf_dir), k=20, num_partitions=NP)
 
 
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 5 power iterations (L2-normalized)."""
+    from giraph_spark.algorithms.hits import hits
+
+    run = hits(spark, demo_edges(spark, sf_dir), max_supersteps=5, num_partitions=NP)
+    return run.vertices.select(
+        "id", F.round("auth", 7).alias("auth"), F.round("hub", 7).alias("hub")
+    )
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_weight(demo_edges(spark, sf_dir))
     source = e.select(F.least(F.min("src"), F.min("dst")).alias("m")).collect()[0]["m"]
@@ -1485,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_global": q_triangle_global,
         "clustering_coeff": q_clustering_coeff,
         "k_core": q_k_core,
+        "hits": q_hits,
         "sssp": q_sssp,
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
@@ -1583,6 +1642,7 @@ FROM verts v
 LEFT JOIN tcnt t ON t.id = v.id
 JOIN deg d ON d.id = v.id""",
         "k_core": _k_core_sql(20, 8),
+        "hits": _hits_sql(5),
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),
         "out_degrees": f"""WITH {_GRAPH}

@@ -269,3 +269,54 @@ def test_k_core_matches_python_peeling(spark):
                 nbr.pop(v)
         want = {v: (1 if v in deg else 0) for v in adj}
         assert got == want, f"k={k}"
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from giraph_spark.algorithms.hits import hits
+
+    n = 60
+    rows = sorted({((i * 13 + 1) % n, (i * 29 + 7) % n) for i in range(220)})
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    run = hits(spark, e, max_supersteps=6)
+    got = {r.id: (r.auth, r.hub) for r in run.vertices.collect()}
+
+    # numpy model: A[u,v]=1 for edge u->v; a'=A.T h; h'=A a'; L2-normalize
+    ids = sorted({v for r in rows for v in r})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for u, v in rows:
+        A[idx[u], idx[v]] = 1.0
+    h = np.full(len(ids), 1.0 / np.sqrt(len(ids)))
+    a = h.copy()
+    for _ in range(6):
+        a = A.T @ h
+        h_raw = A @ a
+        a = a / np.linalg.norm(a)
+        h = h_raw / np.linalg.norm(h_raw)
+    for v in ids:
+        assert abs(got[v][0] - a[idx[v]]) < 1e-9, f"auth {v}"
+        assert abs(got[v][1] - h[idx[v]]) < 1e-9, f"hub {v}"
+    assert run.supersteps == 6
+
+
+def test_hits_tolerance_halts_and_salt_identical(spark):
+    from giraph_spark.algorithms.hits import hits
+
+    n = 40
+    rows = sorted({((i * 3 + 2) % n, (i * 17 + 5) % n) for i in range(150)})
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    run = hits(spark, e, max_supersteps=50, tolerance=1e-12)
+    assert run.converged and run.supersteps < 50
+
+    base = hits(spark, e, max_supersteps=4)
+    salted = hits(spark, e, max_supersteps=4, salt=4)
+    b = {r.id: (r.auth, r.hub) for r in base.vertices.collect()}
+    s = {r.id: (r.auth, r.hub) for r in salted.vertices.collect()}
+    assert b.keys() == s.keys()
+    for k in b:
+        assert abs(b[k][0] - s[k][0]) < 1e-12
+        assert abs(b[k][1] - s[k][1]) < 1e-12
