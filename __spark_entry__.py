@@ -341,6 +341,12 @@ def _hits_sql(iters: int) -> str:
     )
 
 
+def _random_walks_sql(length: int, seed: int) -> str:
+    from giraph_spark.algorithms.walks import walks_sql
+
+    return walks_sql(f"edges AS MATERIALIZED ({DEMO_EDGES_SQL})", length, seed)
+
+
 def _minlabel_sql(iters: int, edge_table: str, agg: str, out_col: str) -> str:
     """Unrolled label propagation to fixpoint: ``agg`` in {least, greatest}.
 
@@ -1044,6 +1050,15 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic walk corpus: one 6-step hash-seeded walk per vertex
+    (the DeepWalk/node2vec sampling stage)."""
+    from giraph_spark.algorithms.walks import random_walks
+
+    return random_walks(spark, demo_edges(spark, sf_dir), length=6, seed=7,
+                        num_partitions=NP)
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_weight(demo_edges(spark, sf_dir))
     source = e.select(F.least(F.min("src"), F.min("dst")).alias("m")).collect()[0]["m"]
@@ -1544,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "k_core": q_k_core,
         "hits": q_hits,
+        "random_walks": q_random_walks,
         "sssp": q_sssp,
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
@@ -1643,6 +1659,7 @@ LEFT JOIN tcnt t ON t.id = v.id
 JOIN deg d ON d.id = v.id""",
         "k_core": _k_core_sql(20, 8),
         "hits": _hits_sql(5),
+        "random_walks": _random_walks_sql(6, 7),
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),
         "out_degrees": f"""WITH {_GRAPH}

@@ -320,3 +320,40 @@ def test_hits_tolerance_halts_and_salt_identical(spark):
     for k in b:
         assert abs(b[k][0] - s[k][0]) < 1e-12
         assert abs(b[k][1] - s[k][1]) < 1e-12
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    from giraph_spark.algorithms.walks import random_walks
+
+    n = 50
+    # two generators per source → out-degree ≥ 2, so the hash actually chooses
+    rows = sorted(
+        {((i * 7 + 1) % n, (i * 19 + 3) % n) for i in range(160)}
+        | {((i * 7 + 1) % n, (i * 31 + 11) % n) for i in range(160)}
+    )
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    out = random_walks(spark, e, length=5, seed=3)
+    got = {(r.walk, r.step): r.vertex for r in out.collect()}
+
+    # every consecutive hop must be a real edge; step0 = start
+    adj = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+    starts = {v for r in rows for v in r}
+    assert {w for (w, s) in got if s == 0} == starts
+    for (w, s), v in got.items():
+        if s == 0:
+            assert v == w
+        else:
+            prev = got.get((w, s - 1))
+            assert prev is not None and v in adj[prev]
+        # a walk row exists at step s only if the previous hop had out-edges
+    # deterministic: rerun gives identical rows
+    again = {(r.walk, r.step): r.vertex for r in
+             random_walks(spark, e, length=5, seed=3).collect()}
+    assert got == again
+    # different seed diverges somewhere
+    other = {(r.walk, r.step): r.vertex for r in
+             random_walks(spark, e, length=5, seed=4).collect()}
+    assert got != other
