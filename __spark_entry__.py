@@ -1526,6 +1526,28 @@ def q_corpus_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page graph → host graph rollup (the standard Common-Crawl
+    reduction): ordered host pairs with raw link counts."""
+    from giraph_spark.corpus import host_graph
+
+    pages, _ = _corpus_pages(spark)
+    return host_graph(pages)
+
+
+def _corpus_host_graph_sql(path: str) -> str:
+    parts = _corpus_prologue(path)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS src_host,
+       regexp_extract(href, '^https?://([^/]+)', 1) AS dst_host,
+       count(*)::BIGINT AS n_links
+FROM res GROUP BY 1, 2"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1600,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_extract_check": q_corpus_extract_check,
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_wcc": q_corpus_wcc,
+        "corpus_host_graph": q_corpus_host_graph,
     }
 
 
@@ -1735,6 +1758,7 @@ FROM documents""",
         "corpus_extract_check": _corpus_extract_sql(_CORPUS_PATH),
         "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PATH, 10),
         "corpus_wcc": _corpus_wcc_sql(_CORPUS_PATH),
+        "corpus_host_graph": _corpus_host_graph_sql(_CORPUS_PATH),
         "component_sizes": (
             "WITH "
             + ",\n".join(

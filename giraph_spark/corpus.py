@@ -294,3 +294,30 @@ def corpus_parquet(
             "overwrite"
         ).parquet(path)
     return path
+
+
+def host_of(col: Column) -> Column:
+    """Host (netloc) of an absolute http(s) URL — '' when not absolute."""
+    return F.regexp_extract(col, r"^https?://([^/]+)", 1)
+
+
+def host_graph(pages: DataFrame) -> DataFrame:
+    """Roll the page link graph up to the host level:
+    (src_host, dst_host, n_links) with one row per ordered host pair and
+    ``n_links`` = raw link occurrences (pre-dedup, self-pairs included —
+    intra-host density is itself a signal).
+
+    The standard Common-Crawl reduction (page graph → host graph, ~1000×
+    smaller); at 100 TB this is one map-side-combined groupBy whose hot
+    keys (mega-hosts) AQE's skew handling or a salted two-level count
+    absorb — same skew story as the vertex gathers.
+    """
+    links = extract_links(pages)
+    return (
+        links.select(
+            host_of(F.col("url")).alias("src_host"),
+            host_of(F.col("href")).alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )

@@ -66,3 +66,17 @@ def test_edges_dedup_and_hub_skew(spark):
     hub_in = edges.where(F.col("dst").isin(list(hub_ids))).count()
     assert hub_in / n > 0.02  # dedup collapses repeats, skew still visible
     edges.unpersist()
+
+
+def test_host_graph_rollup(spark):
+    from giraph_spark.corpus import extract_links, host_graph, synth_corpus
+
+    pages = synth_corpus(spark, 400, seed=7)
+    hg = host_graph(pages).cache()
+    total_links = extract_links(pages).count()
+    rows = hg.collect()
+    assert sum(r.n_links for r in rows) == total_links
+    assert all(r.src_host and r.dst_host for r in rows)
+    # multi-site corpus → cross-host edges exist
+    assert any(r.src_host != r.dst_host for r in rows)
+    hg.unpersist()
