@@ -341,6 +341,32 @@ def _hits_sql(iters: int) -> str:
     )
 
 
+def _adamic_adar_sql(max_degree: int) -> str:
+    return f"""WITH {_GRAPH},
+{_SYM},
+deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+adj AS MATERIALIZED (
+  SELECT s.src AS z, s.dst AS nbr, d.deg
+  FROM sym s JOIN deg d ON d.src = s.src WHERE d.deg <= {max_degree}),
+p AS (
+  SELECT a.nbr AS u, b.nbr AS v, 1.0 / ln(a.deg) AS w
+  FROM adj a JOIN adj b ON b.z = a.z AND a.nbr < b.nbr),
+sc AS MATERIALIZED (
+  SELECT u, v, count(*)::BIGINT AS common_neighbors, sum(w) AS aa
+  FROM p GROUP BY u, v)
+SELECT u, v, common_neighbors, round(aa, 6) AS aa
+FROM sc WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = sc.u AND e.dst = sc.v)"""
+
+
+_ASSORTATIVITY_SQL = f"""WITH {_GRAPH},
+{_SYM},
+deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+pairs AS (
+  SELECT ds.deg AS sdeg, dd.deg AS ddeg
+  FROM sym e JOIN deg ds ON ds.src = e.src JOIN deg dd ON dd.src = e.dst)
+SELECT round(corr(sdeg::DOUBLE, ddeg::DOUBLE), 6) AS assortativity FROM pairs"""
+
+
 def _random_walks_sql(length: int, seed: int) -> str:
     from giraph_spark.algorithms.walks import walks_sql
 
@@ -1050,6 +1076,24 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: unlinked pairs sharing a common
+    neighbor of degree ≤ 25 (the disclosed super-node cap)."""
+    from giraph_spark.algorithms.linkpred import adamic_adar
+
+    return adamic_adar(demo_edges(spark, sf_dir), max_degree=25).select(
+        "u", "v", "common_neighbors", F.round("aa", 6).alias("aa")
+    )
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.graph import degree_assortativity
+
+    return degree_assortativity(demo_edges(spark, sf_dir)).select(
+        F.round("assortativity", 6).alias("assortativity")
+    )
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic walk corpus: one 6-step hash-seeded walk per vertex
     (the DeepWalk/node2vec sampling stage)."""
@@ -1581,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "k_core": q_k_core,
         "hits": q_hits,
+        "adamic_adar": q_adamic_adar,
+        "assortativity": q_assortativity,
         "random_walks": q_random_walks,
         "sssp": q_sssp,
         "bfs": q_bfs,
@@ -1682,6 +1728,8 @@ LEFT JOIN tcnt t ON t.id = v.id
 JOIN deg d ON d.id = v.id""",
         "k_core": _k_core_sql(20, 8),
         "hits": _hits_sql(5),
+        "adamic_adar": _adamic_adar_sql(25),
+        "assortativity": _ASSORTATIVITY_SQL,
         "random_walks": _random_walks_sql(6, 7),
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),

@@ -1,0 +1,80 @@
+"""Link prediction scores over the symmetric graph.
+
+Beyond-reference operators (SURVEY.md §2.8): common-neighbor counting
+and Adamic-Adar — the standard similarity features a link-graph serves
+to ranking / recommendation / graph-ML training pipelines.
+
+Scale shape: candidate pairs are enumerated by a wedge join pivoting on
+the COMMON neighbor z, whose fan-out is deg(z)² — the same super-node
+blow-up every all-pairs neighborhood op has. ``max_degree`` caps the
+pivot degree (the standard mitigation; statistically benign for
+Adamic-Adar because a mega-hub's contribution 1/ln(deg) is already
+negligible — dropping it changes scores by O(1/ln(cap)) only for pairs
+whose ONLY witness is the hub). With the cap, per-pivot fan-out is
+bounded by cap², and the groupBy is map-side combined. At 100 TB, pick
+``max_degree`` so cap² × |V(deg≤cap)| fits the shuffle budget; the
+skipped super-node pivots are exactly enumerable (count is logged by
+the caller if needed via ``skipped_pivots``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from giraph_spark.graph import clean_symmetric
+
+
+def _adj_with_degree(edges: DataFrame) -> DataFrame:
+    sym = clean_symmetric(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return sym.join(deg, "src").select(
+        F.col("src").alias("z"), F.col("dst").alias("nbr"), "deg"
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    include_existing: bool = False,
+) -> DataFrame:
+    """(u, v, common_neighbors, aa) for every unordered pair u<v sharing
+    ≥1 common neighbor (of degree ≤ ``max_degree`` when set);
+    ``aa = Σ_z 1/ln(deg(z))``. Pairs already linked are dropped unless
+    ``include_existing`` (link prediction scores candidate edges)."""
+    adj = _adj_with_degree(edges)
+    if max_degree is not None:
+        adj = adj.where(F.col("deg") <= max_degree)
+    # wedges need deg(z) >= 2, so ln(deg) > 0
+    a, b = adj.alias("a"), adj.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.z") == F.col("b.z")) & (F.col("a.nbr") < F.col("b.nbr")),
+    ).select(
+        F.col("a.nbr").alias("u"),
+        F.col("b.nbr").alias("v"),
+        (F.lit(1.0) / F.log(F.col("a.deg").cast("double"))).alias("w"),
+    )
+    scores = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum("w").alias("aa"),
+    )
+    if not include_existing:
+        sym = clean_symmetric(edges)
+        scores = scores.join(
+            sym.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    return scores
+
+
+def skipped_pivots(edges: DataFrame, max_degree: int) -> DataFrame:
+    """The super-node pivots a capped run excluded — (z, deg) rows; log
+    or audit these so the cap is a disclosed drop, not a silent one."""
+    sym = clean_symmetric(edges)
+    return (
+        sym.groupBy(F.col("src").alias("z"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .where(F.col("deg") > max_degree)
+    )

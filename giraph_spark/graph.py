@@ -166,3 +166,36 @@ def coarsen_graph(
         .agg(val.alias(out_col))
     )
     return cverts, cedges
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Newman's degree assortativity coefficient — Pearson correlation of
+    endpoint degrees over the (clean symmetric) edge set, one scalar row
+    ``(assortativity)``. Negative on web graphs (hubs link to leaves).
+
+    Scale shape: two broadcast-sized degree joins against the edge scan
+    would still shuffle; instead the degree table joins by key (sort-merge
+    or SHJ via AQE) and the correlation is ONE map-side-combinable
+    aggregate — no driver-side math beyond the final row.
+    """
+    sym = clean_symmetric(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pairs = (
+        sym.join(deg, "src")
+        .withColumnRenamed("deg", "sdeg")
+        .join(
+            deg.select(F.col("src").alias("dst"), F.col("deg").alias("ddeg")),
+            "dst",
+        )
+    )
+    # not F.corr: under ANSI mode (Spark 4 default) corr raises
+    # DIVIDE_BY_ZERO on a regular graph (zero degree variance); the
+    # covar/stddev form with try_divide yields NULL there, matching the
+    # SQL-standard corr() of other engines
+    x = F.col("sdeg").cast("double")
+    y = F.col("ddeg").cast("double")
+    return pairs.agg(
+        F.try_divide(
+            F.covar_pop(x, y), F.stddev_pop(x) * F.stddev_pop(y)
+        ).alias("assortativity")
+    )

@@ -357,3 +357,54 @@ def test_random_walks_deterministic_and_valid(spark):
     other = {(r.walk, r.step): r.vertex for r in
              random_walks(spark, e, length=5, seed=4).collect()}
     assert got != other
+
+
+def test_adamic_adar_matches_bruteforce(spark):
+    import math
+
+    from giraph_spark.algorithms.linkpred import adamic_adar, skipped_pivots
+
+    n = 40
+    rows = sorted(
+        {((i * 3 + 1) % n, (i * 11 + 5) % n) for i in range(120)}
+        | {((i * 13 + 2) % n, (i * 7 + 9) % n) for i in range(120)}
+    )
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    cap = 8
+    got = {
+        (r.u, r.v): (r.common_neighbors, r.aa)
+        for r in adamic_adar(e, max_degree=cap).collect()
+    }
+
+    nbr: dict[int, set[int]] = {}
+    for a, b in rows:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    want = {}
+    for z, s in nbr.items():
+        if len(s) > cap:
+            continue
+        for u in s:
+            for v in s:
+                if u < v and v not in nbr[u]:
+                    c, aa = want.get((u, v), (0, 0.0))
+                    want[(u, v)] = (c + 1, aa + 1.0 / math.log(len(s)))
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+    skipped = {r.z for r in skipped_pivots(e, cap).collect()}
+    assert skipped == {z for z, s in nbr.items() if len(s) > cap}
+
+
+def test_degree_assortativity(spark):
+    from giraph_spark.graph import degree_assortativity
+
+    # star graph: hub degree n-1 links only to leaves (degree 1) → r < 0
+    star = spark.createDataFrame([(0, i) for i in range(1, 8)], "src long, dst long")
+    r = degree_assortativity(star).collect()[0][0]
+    assert r < -0.99
+    # cycle: all degrees equal → corr undefined (null)
+    cyc = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)], "src long, dst long")
+    assert degree_assortativity(cyc).collect()[0][0] is None
