@@ -1076,6 +1076,58 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality from the 8 lowest-id seeds (one multi-seed
+    BFS; the Common-Crawl host-ranking metric, sampled-seed estimator)."""
+    from giraph_spark.algorithms.paths import harmonic_centrality
+
+    e = demo_edges(spark, sf_dir)
+    seeds = [
+        r.id
+        for r in e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .orderBy("id")
+        .limit(8)
+        .collect()
+    ]
+    run = harmonic_centrality(spark, e, seeds, num_partitions=NP)
+    return run.vertices.select(
+        "id", F.round("harmonic", 6).alias("harmonic"), "n_reached"
+    )
+
+
+def _harmonic_sql(n_seeds: int, iters: int) -> str:
+    parts = [
+        _GRAPH,
+        f"seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_seeds})",
+        "b0 AS MATERIALIZED (SELECT id AS seed, id, 0::BIGINT AS d FROM seeds)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""b{k + 1} AS MATERIALIZED (
+  SELECT seed, id, min(d) AS d FROM (
+    SELECT seed, id, d FROM b{k}
+    UNION ALL
+    SELECT b.seed, e.dst AS id, b.d + 1 AS d
+    FROM b{k} b JOIN edges e ON e.src = b.id
+  ) GROUP BY seed, id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id, round(coalesce(h.h, 0.0), 6) AS harmonic,
+       coalesce(h.c, 0)::BIGINT AS n_reached
+FROM verts v LEFT JOIN (
+  SELECT id, sum(CASE WHEN d > 0 THEN 1.0 / d ELSE 0.0 END) AS h,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS c
+  FROM b{iters} GROUP BY id
+) h ON h.id = v.id"""
+    )
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction: unlinked pairs sharing a common
     neighbor of degree ≤ 25 (the disclosed super-node cap)."""
@@ -1627,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
+        "harmonic": q_harmonic,
         "random_walks": q_random_walks,
         "sssp": q_sssp,
         "bfs": q_bfs,
@@ -1730,6 +1783,7 @@ JOIN deg d ON d.id = v.id""",
         "hits": _hits_sql(5),
         "adamic_adar": _adamic_adar_sql(25),
         "assortativity": _ASSORTATIVITY_SQL,
+        "harmonic": _harmonic_sql(8, 15),
         "random_walks": _random_walks_sql(6, 7),
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),

@@ -127,3 +127,101 @@ def bfs(
         converged=run.converged,
         history=run.history,
     )
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Harmonic centrality over a seed sample: H(v) = Σ_{s: d(s,v)>0} 1/d(s,v)
+    (inbound distances — the ranking Common Crawl publishes for its host
+    graph; with seeds = all vertices this is exact, with a uniform sample
+    scale by N/|seeds| for the standard estimator).
+
+    One multi-seed BFS: the frontier is (seed, id) pairs, so per superstep
+    the scatter is ONE edge join carrying all seeds at once (work
+    O(|seeds|·E) total, not |seeds| sequential BFS jobs); state holds only
+    REACHED (seed, id, dist) rows — on a web graph each seed reaches most
+    vertices, so state peaks at |seeds|·V, the same bound a per-seed loop
+    would pay in time instead of space.
+
+    Result ``vertices``: (id, harmonic, n_reached) for every vertex,
+    0.0 / 0 when no seed reaches it.
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
+    verts = vertices_from_edges(e)
+
+    seed_lit = [int(s) for s in seeds]
+    state = (
+        verts.where(F.col("id").isin(seed_lit))
+        .select(
+            F.col("id").alias("seed"),
+            "id",
+            F.lit(0).cast("long").alias("dist"),
+            F.lit(True).alias("changed"),
+        )
+        .repartition(num_partitions, "seed", "id")
+    )
+
+    def step(vertices: DataFrame, superstep: int):
+        frontier = vertices.where("changed").select(
+            F.col("id").alias("src"), "seed", "dist"
+        )
+        msgs = e.join(frontier.hint("shuffle_hash"), "src").select(
+            "seed", "dst", (F.col("dist") + 1).alias("msg")
+        )
+        # min-combined per (seed, dst): the composite-key gather
+        gathered = msgs.groupBy("seed", "dst").agg(F.min("msg").alias("msg"))
+        new_state = (
+            vertices.join(
+                gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"),
+                ["seed", "id"],
+                "full_outer",
+            )
+            .select(
+                "seed",
+                "id",
+                F.coalesce("dist", "msg").alias("dist"),
+                F.col("dist").isNull().alias("changed"),  # newly reached pair
+            )
+            .persist()
+        )
+        return new_state, {"changed": materialize_count(new_state, "changed")}
+
+    run = run_supersteps(
+        spark,
+        state,
+        step,
+        max_supersteps=max_supersteps,
+        halt=lambda stats, i: stats["changed"] == 0,
+        verbose=verbose,
+    )
+    reached = run.vertices.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist")).otherwise(0.0)
+        ).alias("harmonic"),
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_reached"
+        ),
+    )
+    out = (
+        verts.join(reached, "id", "left")
+        .select(
+            "id",
+            F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"),
+            F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+        )
+    )
+    e.unpersist()
+    return PregelRun(
+        vertices=out,
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )

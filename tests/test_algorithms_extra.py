@@ -408,3 +408,43 @@ def test_degree_assortativity(spark):
     # cycle: all degrees equal → corr undefined (null)
     cyc = spark.createDataFrame([(i, (i + 1) % 6) for i in range(6)], "src long, dst long")
     assert degree_assortativity(cyc).collect()[0][0] is None
+
+
+def test_harmonic_centrality_matches_bruteforce(spark):
+    from collections import deque
+
+    from giraph_spark.algorithms.paths import harmonic_centrality
+
+    n = 45
+    rows = sorted(
+        {((i * 5 + 2) % n, (i * 17 + 3) % n) for i in range(140)}
+        | {((i * 9 + 1) % n, (i * 23 + 6) % n) for i in range(140)}
+    )
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    seeds = [0, 1, 2, 5]
+    run = harmonic_centrality(spark, e, seeds)
+    got = {r.id: (r.harmonic, r.n_reached) for r in run.vertices.collect()}
+
+    adj = {}
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+    verts = {v for r in rows for v in r}
+    want = {v: [0.0, 0] for v in verts}
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        for v, d in dist.items():
+            if d > 0:
+                want[v][0] += 1.0 / d
+                want[v][1] += 1
+    assert set(got) == set(want)
+    for v in verts:
+        assert abs(got[v][0] - want[v][0]) < 1e-9, v
+        assert got[v][1] == want[v][1], v
