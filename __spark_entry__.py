@@ -1155,6 +1155,22 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                         num_partitions=NP)
 
 
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style deterministic neighbor sampling, fanout 3 through
+    the salted bounded top-k gather."""
+    from giraph_spark.algorithms.walks import sample_neighbors
+
+    return sample_neighbors(demo_edges(spark, sf_dir), fanout=3, seed=5, salt=4)
+
+
+def _neighbor_sample_sql(fanout: int, seed: int) -> str:
+    from giraph_spark.algorithms.walks import sample_neighbors_sql
+
+    return sample_neighbors_sql(
+        f"edges AS MATERIALIZED ({DEMO_EDGES_SQL})", fanout, seed
+    )
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_weight(demo_edges(spark, sf_dir))
     source = e.select(F.least(F.min("src"), F.min("dst")).alias("m")).collect()[0]["m"]
@@ -1681,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
         "random_walks": q_random_walks,
+        "neighbor_sample": q_neighbor_sample,
         "sssp": q_sssp,
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
@@ -1785,6 +1802,7 @@ JOIN deg d ON d.id = v.id""",
         "assortativity": _ASSORTATIVITY_SQL,
         "harmonic": _harmonic_sql(8, 15),
         "random_walks": _random_walks_sql(6, 7),
+        "neighbor_sample": _neighbor_sample_sql(3, 5),
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),
         "out_degrees": f"""WITH {_GRAPH}

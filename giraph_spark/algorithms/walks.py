@@ -141,3 +141,47 @@ def walks_sql(edges_cte: str, length: int, seed: int = 0) -> str:
         for t in range(length + 1)
     )
     return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
+def sample_neighbors(
+    edges: DataFrame,
+    fanout: int,
+    seed: int = 0,
+    salt: int | None = None,
+) -> DataFrame:
+    """GraphSAGE-style neighbor sampling: for every src keep at most
+    ``fanout`` out-neighbors, chosen by the portable deterministic hash
+    (so resampling with the same seed is reproducible across runs,
+    engines, and cluster sizes). Returns (src, dst) rows.
+
+    Scale shape: the per-src top-k runs through the salted bounded-merge
+    gather (``gather_topk_messages``) — a mega-hub's candidate list never
+    lands on one reducer; pass ``salt`` on power-law graphs.
+    """
+    from giraph_spark.pregel import gather_topk_messages
+
+    e = dedup_edges(edges.select("src", "dst"))
+    msgs = e.select(
+        "src",
+        F.struct(
+            F.expr(_priority("src", "dst", 0, seed)).alias("p"),
+            F.col("dst").alias("dst"),
+        ).alias("m"),
+    )
+    topk = gather_topk_messages(
+        msgs, fanout, key="src", msg_col="m", ascending=True, salt=salt
+    )
+    return topk.select("src", F.explode(F.col("topk"))).select(
+        "src", F.col("col.dst").alias("dst")
+    )
+
+
+def sample_neighbors_sql(edges_cte: str, fanout: int, seed: int = 0) -> str:
+    """ANSI twin of :func:`sample_neighbors`."""
+    prio = _priority("src", "dst", 0, seed)
+    return f"""WITH {edges_cte},
+r AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY {prio}, dst) AS rn
+  FROM edges)
+SELECT src, dst FROM r WHERE rn <= {fanout}"""

@@ -448,3 +448,29 @@ def test_harmonic_centrality_matches_bruteforce(spark):
     for v in verts:
         assert abs(got[v][0] - want[v][0]) < 1e-9, v
         assert got[v][1] == want[v][1], v
+
+
+def test_sample_neighbors_deterministic_subset(spark):
+    from giraph_spark.algorithms.walks import sample_neighbors
+
+    n = 30
+    rows = sorted(
+        {(i % n, (i * 7 + j) % n) for i in range(90) for j in (1, 2, 3, 4, 5)}
+    )
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    got = {(r.src, r.dst) for r in sample_neighbors(e, fanout=3, seed=2).collect()}
+    assert got <= set(rows)
+    import collections
+
+    per_src = collections.Counter(s for s, _ in got)
+    deg = collections.Counter(s for s, _ in rows)
+    for s, d in deg.items():
+        assert per_src[s] == min(3, d), s
+    # salted path must agree exactly with the unsalted one
+    salted = {(r.src, r.dst) for r in
+              sample_neighbors(e, fanout=3, seed=2, salt=4).collect()}
+    assert salted == got
+    # different seed picks a different subset somewhere
+    other = {(r.src, r.dst) for r in sample_neighbors(e, fanout=3, seed=9).collect()}
+    assert other != got
