@@ -1155,6 +1155,36 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                         num_partitions=NP)
 
 
+def q_gnn_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two GNN mean-aggregation layers over a deterministic synthetic
+    feature — the per-epoch message-passing materialization."""
+    from giraph_spark.algorithms.linkpred import neighborhood_mean
+    from giraph_spark.graph import vertices_from_edges
+
+    e = demo_edges(spark, sf_dir)
+    feats = vertices_from_edges(e).select(
+        "id", ((F.col("id") * 31 % 97) / 97.0).alias("f")
+    )
+    out = neighborhood_mean(e, feats, hops=2)
+    return out.select(
+        "id", F.round("h1", 6).alias("h1"), F.round("h2", 6).alias("h2")
+    )
+
+
+_GNN_AGG_SQL = f"""WITH {_GRAPH},
+f0 AS MATERIALIZED (SELECT id, ((id * 31) % 97) / 97.0 AS h0 FROM verts),
+a1 AS MATERIALIZED (
+  SELECT e.dst AS id, avg(f.h0) AS h1
+  FROM edges e JOIN f0 f ON f.id = e.src GROUP BY e.dst),
+f1 AS MATERIALIZED (
+  SELECT v.id, a.h1 FROM f0 v LEFT JOIN a1 a ON a.id = v.id),
+a2 AS (
+  SELECT e.dst AS id, avg(f.h1) AS h2
+  FROM edges e JOIN f1 f ON f.id = e.src GROUP BY e.dst)
+SELECT v.id, round(v.h1, 6) AS h1, round(a.h2, 6) AS h2
+FROM f1 v LEFT JOIN a2 a ON a.id = v.id"""
+
+
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style deterministic neighbor sampling, fanout 3 through
     the salted bounded top-k gather."""
@@ -1698,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic": q_harmonic,
         "random_walks": q_random_walks,
         "neighbor_sample": q_neighbor_sample,
+        "gnn_agg": q_gnn_agg,
         "sssp": q_sssp,
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
@@ -1803,6 +1834,7 @@ JOIN deg d ON d.id = v.id""",
         "harmonic": _harmonic_sql(8, 15),
         "random_walks": _random_walks_sql(6, 7),
         "neighbor_sample": _neighbor_sample_sql(3, 5),
+        "gnn_agg": _GNN_AGG_SQL,
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),
         "out_degrees": f"""WITH {_GRAPH}

@@ -78,3 +78,32 @@ def skipped_pivots(edges: DataFrame, max_degree: int) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .where(F.col("deg") > max_degree)
     )
+
+
+def neighborhood_mean(
+    edges: DataFrame,
+    features: DataFrame,
+    hops: int = 2,
+    id_col: str = "id",
+    feature_col: str = "f",
+) -> DataFrame:
+    """GNN-style mean aggregation: h0 = feature, h_{k+1}(v) = mean of
+    h_k over v's in-neighbors (null when v has none) — the message-
+    passing layer a GraphSAGE/GCN training pipeline materializes per
+    epoch. Returns (id, h1, ..., h<hops>).
+
+    Scale shape: per hop ONE scatter join (edges × current layer, edge
+    side static) and one map-side-combined avg gather — identical plan
+    to a PageRank superstep, so the bucketed-edge-table path applies
+    unchanged.
+    """
+    e = edges.select("src", "dst")
+    out = features.select(F.col(id_col).alias("id"), F.col(feature_col).alias("h0"))
+    for k in range(1, hops + 1):
+        prev = f"h{k - 1}"
+        msgs = e.join(
+            out.select(F.col("id").alias("src"), F.col(prev).alias("m")), "src"
+        )
+        agg = msgs.groupBy(F.col("dst").alias("id")).agg(F.avg("m").alias(f"h{k}"))
+        out = out.join(agg, "id", "left")
+    return out.drop("h0")

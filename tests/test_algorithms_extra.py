@@ -474,3 +474,21 @@ def test_sample_neighbors_deterministic_subset(spark):
     # different seed picks a different subset somewhere
     other = {(r.src, r.dst) for r in sample_neighbors(e, fanout=3, seed=9).collect()}
     assert other != got
+
+
+def test_neighborhood_mean_two_hops(spark):
+    from giraph_spark.algorithms.linkpred import neighborhood_mean
+
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    feats = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 4.0), (4, 8.0)], "id long, f double"
+    )
+    got = {r.id: (r.h1, r.h2) for r in neighborhood_mean(edges, feats).collect()}
+    # h1: 3 <- mean(1,2)=1.5; 4 <- 4.0; 1 <- 8.0; 2 <- none
+    assert got[3][0] == 1.5 and got[4][0] == 4.0 and got[1][0] == 8.0
+    assert got[2][0] is None
+    # h2: 3 <- mean(h1[1], h1[2]) = mean(8.0, null) = 8.0; 4 <- h1[3]=1.5; 1 <- h1[4]=4.0
+    assert got[3][1] == 8.0 and got[4][1] == 1.5 and got[1][1] == 4.0
+    assert got[2][1] is None
