@@ -1690,6 +1690,81 @@ FROM res GROUP BY 1, 2"""
     )
 
 
+def q_corpus_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Common-Crawl-style host ranking: page links → host
+    graph (link-count weighted, self-host pairs dropped) → weighted
+    PageRank → top 10 hosts."""
+    from giraph_spark.corpus import host_graph
+
+    pages, _ = _corpus_pages(spark)
+    hg = host_graph(pages).where(F.col("src_host") != F.col("dst_host"))
+    edges = hg.select(
+        F.xxhash64("src_host").alias("src"),
+        F.xxhash64("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    run = pagerank(spark, edges, max_supersteps=10, tolerance=None,
+                   weighted=True, num_partitions=NP)
+    hosts = hg.select(
+        F.xxhash64("src_host").alias("id"), F.col("src_host").alias("host")
+    ).union(
+        hg.select(F.xxhash64("dst_host"), "dst_host")
+    ).dropDuplicates(["id"])
+    return (
+        run.vertices.join(hosts, "id")
+        .select("host", F.round("rank", 6).alias("rank"))
+        .orderBy(F.round("rank", 6).desc(), "host")
+        .limit(10)
+    )
+
+
+def _corpus_host_rank_sql(path: str, iters: int, damping: float = 0.85) -> str:
+    d = damping
+    host = "regexp_extract({x}, '^https?://([^/]+)', 1)"
+    parts = _corpus_prologue(path) + [
+        f"""hedges AS MATERIALIZED (
+  SELECT sh, dh, count(*)::DOUBLE AS n FROM (
+    SELECT {host.format(x='url')} AS sh, {host.format(x='href')} AS dh FROM res)
+  WHERE sh <> dh GROUP BY sh, dh)""",
+        """wn AS MATERIALIZED (
+  SELECT sh, dh, n / sum(n) OVER (PARTITION BY sh) AS weight FROM hedges)""",
+        "hverts AS MATERIALIZED (SELECT sh AS id FROM hedges UNION SELECT dh FROM hedges)",
+        "hn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM hverts)",
+        "hasout AS MATERIALIZED (SELECT DISTINCT sh FROM hedges)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS rank FROM hverts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""hs{k} AS MATERIALIZED (
+  SELECT sum(r.rank) AS all_sum,
+         coalesce(sum(CASE WHEN o.sh IS NULL THEN r.rank END), 0.0) AS sink_sum
+  FROM h{k} r LEFT JOIN hasout o ON o.sh = r.id
+)"""
+        )
+        parts.append(
+            f"""hm{k} AS MATERIALIZED (
+  SELECT e.dh AS id, sum(r.rank * e.weight) AS msg
+  FROM wn e JOIN h{k} r ON r.id = e.sh
+  GROUP BY e.dh
+)"""
+        )
+        parts.append(
+            f"""h{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         {d} * (coalesce(m.msg, 0.0) + (SELECT sink_sum FROM hs{k}) / (SELECT n FROM hn))
+       + {1.0 - d} * (SELECT all_sum FROM hs{k}) / (SELECT n FROM hn) AS rank
+  FROM h{k} v LEFT JOIN hm{k} m ON m.id = v.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id AS host, round(rank, 6) AS rank FROM h{iters}
+ORDER BY round(rank, 6) DESC, host ASC LIMIT 10"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1770,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_wcc": q_corpus_wcc,
         "corpus_host_graph": q_corpus_host_graph,
+        "corpus_host_rank": q_corpus_host_rank,
     }
 
 
@@ -1911,6 +1987,7 @@ FROM documents""",
         "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PATH, 10),
         "corpus_wcc": _corpus_wcc_sql(_CORPUS_PATH),
         "corpus_host_graph": _corpus_host_graph_sql(_CORPUS_PATH),
+        "corpus_host_rank": _corpus_host_rank_sql(_CORPUS_PATH, 10),
         "component_sizes": (
             "WITH "
             + ",\n".join(
