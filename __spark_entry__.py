@@ -1185,6 +1185,25 @@ SELECT v.id, round(v.h1, 6) AS h1, round(a.h2, 6) AS h2
 FROM f1 v LEFT JOIN a2 a ON a.id = v.id"""
 
 
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec-style walks (p=2, q=0.5 — DFS-leaning),
+    deterministic bias rule, 5 steps."""
+    from giraph_spark.algorithms.walks import node2vec_walks
+
+    return node2vec_walks(
+        spark, demo_edges(spark, sf_dir), length=5, p=2.0, q=0.5, seed=11,
+        num_partitions=NP,
+    )
+
+
+def _node2vec_sql(length: int, p: float, q: float, seed: int) -> str:
+    from giraph_spark.algorithms.walks import node2vec_sql
+
+    return node2vec_sql(
+        f"edges AS MATERIALIZED ({DEMO_EDGES_SQL})", length, p, q, seed
+    )
+
+
 def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphSAGE-style deterministic neighbor sampling, fanout 3 through
     the salted bounded top-k gather."""
@@ -1802,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
         "random_walks": q_random_walks,
+        "node2vec": q_node2vec,
         "neighbor_sample": q_neighbor_sample,
         "gnn_agg": q_gnn_agg,
         "sssp": q_sssp,
@@ -1909,6 +1929,7 @@ JOIN deg d ON d.id = v.id""",
         "assortativity": _ASSORTATIVITY_SQL,
         "harmonic": _harmonic_sql(8, 15),
         "random_walks": _random_walks_sql(6, 7),
+        "node2vec": _node2vec_sql(5, 2.0, 0.5, 11),
         "neighbor_sample": _neighbor_sample_sql(3, 5),
         "gnn_agg": _GNN_AGG_SQL,
         "sssp": _sssp_sql(30),

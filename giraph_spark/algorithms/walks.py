@@ -185,3 +185,139 @@ r AS (
          row_number() OVER (PARTITION BY src ORDER BY {prio}, dst) AS rn
   FROM edges)
 SELECT src, dst FROM r WHERE rn <= {fanout}"""
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    length: int = 8,
+    p: float = 1.0,
+    q: float = 1.0,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Second-order (node2vec-style) biased walks, deterministic variant.
+
+    node2vec (Grover & Leskovec, KDD 2016) samples the next hop d from
+    cur with weight 1/p when d == prev (return), 1 when d is a neighbor
+    of prev (BFS-like), 1/q otherwise (DFS-like). The deterministic
+    analog here scores every candidate ``hash(cur, step, d, seed) ×
+    class_penalty`` with integer penalties (1000·p, 1000, 1000·q) and
+    takes the argmin — biased toward low-penalty classes in the same
+    direction as the sampling weights, exactly reproducible, and
+    replayable in ANSI SQL (``node2vec_sql``). With p = q = 1 the choice
+    reduces to :func:`random_walks`'s uniform-hash pick.
+
+    Scale shape: per step TWO joins against the cached edge table — the
+    scatter (cur → candidates) and the prev-adjacency membership probe
+    (a semi-join shaped left join on (prev, dst)) — then the same
+    map-side-combined min(struct) argmin as random_walks. Second-order
+    state is just one extra carried column (prev); no adjacency lists
+    are ever collected.
+
+    Returns (walk, step, vertex) rows; walks end at sinks.
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cp, ck, cq = int(round(1000 * p)), 1000, int(round(1000 * q))
+    e = (
+        dedup_edges(edges.select("src", "dst"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    # membership probe table keyed by the wedge midpoint
+    e_prev = e.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"),
+        F.lit(True).alias("_is_d1"),
+    ).repartition(num_partitions, "prev").persist()
+
+    frontier = (
+        vertices_from_edges(e)
+        .select(
+            F.col("id").alias("walk"),
+            F.lit(None).cast("long").alias("prev"),
+            F.col("id").alias("cur"),
+        )
+        .repartition(num_partitions, "walk")
+        .persist()
+    )
+    steps = [
+        frontier.select("walk", F.lit(0).cast("long").alias("step"),
+                        F.col("cur").alias("vertex"))
+    ]
+    cached = [frontier]
+    for t in range(1, length + 1):
+        cand = frontier.join(e, frontier["cur"] == e["src"]).select(
+            "walk", "prev", "cur", "dst",
+            F.expr(_priority("cur", "dst", t, seed)).alias("h"),
+        )
+        cand = cand.join(e_prev, ["prev", "dst"], "left")
+        penalty = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(cp))
+            .when(F.col("_is_d1"), F.lit(ck))
+            .otherwise(F.lit(cq))
+        )
+        # step 1 has no prev: all candidates are first hops (penalty 1 ==
+        # uniform hash choice, matching random_walks)
+        scored = cand.select(
+            "walk", "cur", "dst",
+            (F.col("h") * F.when(F.col("prev").isNull(), F.lit(1)).otherwise(penalty)
+             ).alias("score"),
+        )
+        frontier = (
+            scored.groupBy("walk")
+            .agg(F.min(F.struct("score", "dst", "cur")).alias("best"))
+            .select(
+                "walk",
+                F.col("best.cur").alias("prev"),
+                F.col("best.dst").alias("cur"),
+            )
+            .persist()
+        )
+        cached.append(frontier)
+        steps.append(
+            frontier.select("walk", F.lit(t).cast("long").alias("step"),
+                            F.col("cur").alias("vertex"))
+        )
+    out = reduce(DataFrame.unionByName, steps).coalesce(num_partitions)
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    e_prev.unpersist()
+    e.unpersist()
+    return out
+
+
+def node2vec_sql(
+    edges_cte: str, length: int, p: float = 1.0, q: float = 1.0, seed: int = 0
+) -> str:
+    """ANSI twin of :func:`node2vec_walks`."""
+    cp, ck, cq = int(round(1000 * p)), 1000, int(round(1000 * q))
+    parts = [
+        edges_cte,
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "w0 AS MATERIALIZED (SELECT id AS walk, NULL::BIGINT AS prev, id AS cur FROM verts)",
+    ]
+    for t in range(1, length + 1):
+        prio = _priority("w.cur", "e.dst", t, seed)
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+  SELECT walk, prev, cur FROM (
+    SELECT w.walk, w.cur AS prev, e.dst AS cur,
+           row_number() OVER (PARTITION BY w.walk ORDER BY
+             ({prio}) * (CASE WHEN w.prev IS NULL THEN 1
+                              WHEN e.dst = w.prev THEN {cp}
+                              WHEN e2.dst IS NOT NULL THEN {ck}
+                              ELSE {cq} END),
+             e.dst) AS rn
+    FROM w{t - 1} w
+    JOIN edges e ON e.src = w.cur
+    LEFT JOIN edges e2 ON e2.src = w.prev AND e2.dst = e.dst
+  ) WHERE rn = 1
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT walk, {t}::BIGINT AS step, cur AS vertex FROM w{t}"
+        for t in range(length + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects

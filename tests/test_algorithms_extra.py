@@ -492,3 +492,61 @@ def test_neighborhood_mean_two_hops(spark):
     # h2: 3 <- mean(h1[1], h1[2]) = mean(8.0, null) = 8.0; 4 <- h1[3]=1.5; 1 <- h1[4]=4.0
     assert got[3][1] == 8.0 and got[4][1] == 1.5 and got[1][1] == 4.0
     assert got[2][1] is None
+
+
+def test_node2vec_walks_model(spark):
+    from giraph_spark.algorithms.walks import node2vec_walks
+
+    M = 2_147_483_647
+
+    def prio(cur, dst, step, seed):
+        inner = (
+            ((cur % M) * 2654435761) % M
+            + ((dst % M) * 2246822519) % M
+            + step * 40503
+            + seed * 97
+        ) % M
+        return (inner * inner + inner) % M
+
+    n = 35
+    rows = sorted(
+        {((i * 3 + 1) % n, (i * 11 + 4) % n) for i in range(110)}
+        | {((i * 13 + 5) % n, (i * 7 + 2) % n) for i in range(110)}
+    )
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    p_, q_, seed, L = 2.0, 0.5, 6, 4
+    got = {(r.walk, r.step): r.vertex
+           for r in node2vec_walks(spark, e, length=L, p=p_, q=q_, seed=seed).collect()}
+
+    adj = {}
+    eset = set(rows)
+    for a, b in rows:
+        adj.setdefault(a, set()).add(b)
+    cp, ck, cq = 2000, 1000, 500
+    want = {}
+    for w in {v for r in rows for v in r}:
+        prev, cur = None, w
+        want[(w, 0)] = w
+        for t in range(1, L + 1):
+            if cur not in adj:
+                break
+
+            def score(d, prev=prev, cur=cur, t=t):
+                pen = 1 if prev is None else (
+                    cp if d == prev else (ck if (prev, d) in eset else cq)
+                )
+                return (prio(cur, d, t, seed) * pen, d)
+
+            nxt = min(adj[cur], key=score)
+            want[(w, t)] = nxt
+            prev, cur = cur, nxt
+    assert got == want
+    # p=q=1 must equal random_walks' choices
+    from giraph_spark.algorithms.walks import random_walks
+
+    uni = {(r.walk, r.step): r.vertex
+           for r in node2vec_walks(spark, e, length=3, p=1.0, q=1.0, seed=2).collect()}
+    plain = {(r.walk, r.step): r.vertex
+             for r in random_walks(spark, e, length=3, seed=2).collect()}
+    assert uni == plain
