@@ -52,6 +52,7 @@ def pagerank(
     num_partitions: int | None = None,
     lineage_cut_interval: int = 1,
     pre_partitioned: bool = False,
+    init_ranks: DataFrame | None = None,
     verbose: bool = False,
 ) -> PregelRun:
     """Run PageRank; result ``vertices`` has columns (id, rank).
@@ -62,6 +63,12 @@ def pagerank(
     ``pre_partitioned=True`` declares that ``edges`` already carries a
     hash-partitioning on ``src`` (a bucketed table from
     ``storage.write_bucketed_edges``) and skips the per-run exchange.
+
+    ``init_ranks`` (id, rank) warm-starts the iteration — the
+    incremental-recompute path after a graph mutation: seed with the
+    previous run's converged ranks (vertices missing from it start at
+    1.0, extra rows are ignored) and the power iteration re-converges in
+    the few supersteps the perturbation needs instead of from scratch.
     """
     if convergence not in ("l1", "l1_mean", "linf", "rmse"):
         raise ValueError(f"unknown convergence type {convergence!r}")
@@ -89,19 +96,36 @@ def pagerank(
 
     verts = vertices_from_edges(edges)
     sinks = verts.join(edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti")
-    state = (
-        verts.join(sinks.withColumn("is_sink", F.lit(True)), "id", "left")
-        .select(
+    state = verts.join(sinks.withColumn("is_sink", F.lit(True)), "id", "left")
+    if init_ranks is not None:
+        state = state.join(
+            init_ranks.select("id", F.col("rank").alias("_warm")), "id", "left"
+        ).select(
+            "id",
+            F.coalesce("_warm", F.lit(1.0)).alias("rank"),
+            F.coalesce("is_sink", F.lit(False)).alias("is_sink"),
+        )
+    else:
+        state = state.select(
             "id",
             F.lit(1.0).alias("rank"),
             F.coalesce("is_sink", F.lit(False)).alias("is_sink"),
         )
-        .repartition(num_partitions, "id")
-    )
+    state = state.repartition(num_partitions, "id")
 
     n_vertices = verts.count()
     if n_vertices == 0:
         return PregelRun(vertices=state.select("id", "rank"), supersteps=0, converged=True)
+    if init_ranks is not None:
+        # this formulation CONSERVES the initial mass (new = d·(msgs +
+        # sink/N) + (1-d)·allSum/N), so an arbitrary warm vector must be
+        # rescaled to the reference's mass-N convention or the fixpoint
+        # itself would be scaled by the mass ratio
+        total = float(state.agg(F.sum("rank")).collect()[0][0] or 0.0)
+        if total > 0:
+            state = state.withColumn(
+                "rank", F.col("rank") * F.lit(n_vertices / total)
+            )
 
     d = float(damping)
     # aggregator state visible to the *next* superstep (one-superstep lag,

@@ -550,3 +550,44 @@ def test_node2vec_walks_model(spark):
     plain = {(r.walk, r.step): r.vertex
              for r in random_walks(spark, e, length=3, seed=2).collect()}
     assert uni == plain
+
+
+def test_pagerank_warm_start(spark):
+    """init_ranks = the incremental-recompute path after a mutation:
+    seeding with a converged vector converges immediately on the same
+    graph, and on a perturbed graph reaches the perturbed fixpoint
+    (contraction-stable — how many steps it saves depends on how far
+    the perturbation moved the fixpoint, so only correctness is
+    asserted)."""
+    from giraph_spark.algorithms.pagerank import pagerank
+
+    n = 200
+    rows = sorted(
+        {((i * 7 + 1) % n, (i * 13 + 5) % n) for i in range(700)}
+        | {((i * 3 + 2) % n, (i * 29 + 7) % n) for i in range(700)}
+    )
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    cold = pagerank(spark, e, max_supersteps=150, tolerance=1e-9)
+    assert cold.converged
+
+    # same graph: already at the fixpoint -> halts in one superstep
+    same = pagerank(
+        spark, e, max_supersteps=150, tolerance=1e-9, init_ranks=cold.vertices
+    )
+    assert same.converged and same.supersteps <= 2
+
+    # perturbed graph: warm start converges to the SAME fixpoint a cold
+    # run finds (vertices missing from init_ranks default to 1.0)
+    e2 = spark.createDataFrame(rows[10:], "src long, dst long")
+    warm = pagerank(
+        spark, e2, max_supersteps=150, tolerance=1e-9,
+        init_ranks=cold.vertices.limit(150),  # partial warm vector
+    )
+    cold2 = pagerank(spark, e2, max_supersteps=150, tolerance=1e-9)
+    assert warm.converged and cold2.converged
+    a = {r.id: r.rank for r in warm.vertices.collect()}
+    b = {r.id: r.rank for r in cold2.vertices.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-5, k
