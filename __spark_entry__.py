@@ -1220,6 +1220,21 @@ def _neighbor_sample_sql(fanout: int, seed: int) -> str:
     )
 
 
+def q_partition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition edge counts and edge-cut under the portable modulo
+    assignment (P=8) — the balance signal a partition rebalancer reads."""
+    from giraph_spark.storage import partition_quality
+
+    return partition_quality(demo_edges(spark, sf_dir), 8)
+
+
+_PARTITION_QUALITY_SQL = f"""WITH {_GRAPH},
+x AS (SELECT src % 8 AS ps, dst % 8 AS pd FROM edges)
+SELECT ps AS partition, count(*)::BIGINT AS edges,
+       sum(CASE WHEN ps <> pd THEN 1 ELSE 0 END)::BIGINT AS cut_edges
+FROM x GROUP BY ps"""
+
+
 def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_weight(demo_edges(spark, sf_dir))
     source = e.select(F.least(F.min("src"), F.min("dst")).alias("m")).collect()[0]["m"]
@@ -1824,6 +1839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec": q_node2vec,
         "neighbor_sample": q_neighbor_sample,
         "gnn_agg": q_gnn_agg,
+        "partition_quality": q_partition_quality,
         "sssp": q_sssp,
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
@@ -1932,6 +1948,7 @@ JOIN deg d ON d.id = v.id""",
         "node2vec": _node2vec_sql(5, 2.0, 0.5, 11),
         "neighbor_sample": _neighbor_sample_sql(3, 5),
         "gnn_agg": _GNN_AGG_SQL,
+        "partition_quality": _PARTITION_QUALITY_SQL,
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),
         "out_degrees": f"""WITH {_GRAPH}

@@ -25,6 +25,7 @@ cluster with an Iceberg catalog, ``write_bucketed_edges`` maps 1:1 onto
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_LOCATION = "/tmp/giraph_spark_warehouse"
 
@@ -96,4 +97,34 @@ def count_exchanges(df: DataFrame) -> int:
     return sum(
         plan.count(f"Exchange {kind}")
         for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+
+
+def partition_quality(
+    edges: DataFrame, num_partitions: int, assign=None
+) -> DataFrame:
+    """Edge-cut / balance metrics for a vertex→partition assignment —
+    (partition, edges, cut_edges) per src-side partition, where a cut
+    edge crosses partitions (its message travels the wire at cluster
+    scale). The reference tracks the same balance signal to trigger
+    partition rebalancing (``partition/PartitionBalancer.java``).
+
+    ``assign`` maps an id Column to a partition id; the default is the
+    portable modulo (pmod(id, P)) so an external SQL engine can replay
+    the metric exactly — Spark's physical hash partitioning (Murmur3)
+    gives the same *distribution* but is not ANSI-replayable.
+    """
+    p = num_partitions
+
+    def _assign(c):
+        return F.pmod(c, F.lit(p)) if assign is None else assign(c)
+
+    x = edges.select(
+        _assign(F.col("src")).alias("ps"), _assign(F.col("dst")).alias("pd")
+    )
+    return x.groupBy(F.col("ps").alias("partition")).agg(
+        F.count(F.lit(1)).alias("edges"),
+        F.sum(F.when(F.col("ps") != F.col("pd"), 1).otherwise(0))
+        .cast("long")
+        .alias("cut_edges"),
     )

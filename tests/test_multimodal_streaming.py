@@ -223,3 +223,52 @@ def test_running_degree_totals(spark, tmp_path):
     q.awaitTermination()
     got = {r.dst: r.in_degree_total for r in spark.read.parquet(out_dir).collect()}
     assert got == {10: 2, 11: 1}
+
+
+def test_incremental_pagerank_stream(spark, tmp_path):
+    """Two micro-batches of edges; each batch re-ranks the accumulated
+    graph warm-started from the previous ranks; the final ranks must
+    match a from-scratch batch run on the full edge set."""
+    import datetime as dt
+
+    from giraph_spark.algorithms.pagerank import pagerank
+    from giraph_spark.streaming import incremental_pagerank, read_edge_stream
+
+    n = 60
+    all_rows = sorted(
+        {((i * 7 + 1) % n, (i * 13 + 5) % n) for i in range(250)}
+        | {((i * 3 + 2) % n, (i * 23 + 7) % n) for i in range(250)}
+    )
+    all_rows = [(a, b) for a, b in all_rows if a != b]
+    ts = dt.datetime(2026, 1, 1)
+    half = len(all_rows) // 2
+    src_dir = tmp_path / "edges"
+    for i, chunk in enumerate((all_rows[:half], all_rows[half:])):
+        spark.createDataFrame(
+            [(a, b, ts) for a, b in chunk], "src long, dst long, event_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(str(src_dir))
+
+    runs = []
+    q = incremental_pagerank(
+        spark,
+        read_edge_stream(spark, str(src_dir), max_files_per_trigger=1),
+        checkpoint=str(tmp_path / "ckpt"),
+        on_batch=lambda bid, run: runs.append(run),
+        tolerance=1e-9,
+        max_supersteps=150,
+    )
+    q.awaitTermination()
+    assert len(runs) == 2
+    assert all(r.converged for r in runs)
+
+    full = pagerank(
+        spark,
+        spark.createDataFrame(all_rows, "src long, dst long"),
+        tolerance=1e-9,
+        max_supersteps=150,
+    )
+    want = {r.id: r.rank for r in full.vertices.collect()}
+    got = {r.id: r.rank for r in runs[-1].vertices.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-5, k
