@@ -249,18 +249,28 @@ def incremental_pagerank(
     ranks the growing table. ``on_batch(batch_id, run)`` receives each
     batch's PregelRun; the accumulated edge/rank state lives across
     batches in driver scope. Returns the StreamingQuery.
+
+    Memory: the cross-batch snapshots (edges, ranks) are re-cut and the
+    superseded blocks released every batch; each batch's ``run.vertices``
+    stays readable (it backs ``on_batch``) at one V-row block per batch —
+    an unbounded production stream should sink ranks per batch and drop
+    the run instead of retaining it.
     """
     from giraph_spark.algorithms.pagerank import pagerank
+    from giraph_spark.pregel import LineageCuts
 
     state: dict[str, object] = {"edges": None, "ranks": None}
+    cuts = LineageCuts()  # releases each batch's superseded snapshot blocks
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         new_e = batch.select("src", "dst")
         acc = new_e if state["edges"] is None else state["edges"].unionByName(new_e)
         # accumulated graph must survive across foreachBatch calls: the
         # batch frame itself is only valid within this call, so cut to a
-        # materialized table (same lineage-cut discipline as the engine)
-        acc = acc.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+        # materialized table (same lineage-cut discipline as the engine);
+        # the width would otherwise grow by one narrow union per batch
+        acc = acc.dropDuplicates(["src", "dst"])
+        acc = cuts.cut(acc, "edges")
         state["edges"] = acc
         run = pagerank(
             spark,
@@ -269,7 +279,7 @@ def incremental_pagerank(
             max_supersteps=max_supersteps,
             init_ranks=state["ranks"],
         )
-        state["ranks"] = run.vertices.localCheckpoint(eager=True)
+        state["ranks"] = cuts.cut(run.vertices, "ranks")
         on_batch(batch_id, run)
 
     writer = stream_edges.writeStream.foreachBatch(handle).option(

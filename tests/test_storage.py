@@ -91,3 +91,22 @@ def test_partition_edges_strategies(spark):
 
     with _pytest.raises(ValueError):
         partition_edges(e, 8, strategy="nope")
+
+
+def test_partition_quality_metrics(spark):
+    from giraph_spark.storage import partition_quality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (8, 0), (9, 1), (4, 12)], "src long, dst long"
+    )
+    got = {r.partition: (r.edges, r.cut_edges)
+           for r in partition_quality(edges, 4).collect()}
+    # modulo-4 parts: cuts where src%4 != dst%4 — (8,0), (9,1), (4,12)
+    # are partition-local, the 3-cycle edges all cross
+    assert got == {0: (3, 1), 1: (2, 1), 2: (1, 1)}
+    # a partition-aligned graph has zero cut
+    aligned = spark.createDataFrame(
+        [(0, 4), (4, 8), (1, 5), (2, 6)], "src long, dst long"
+    )
+    got2 = {r.partition: r.cut_edges for r in partition_quality(aligned, 4).collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0}
