@@ -43,7 +43,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 EDGES_PATH = "/tmp/giraph_scaling_edges.parquet"
 SHUFFLE_PARTITIONS = 64
-WARMUP = 4
+# JIT warm-up is per-EXECUTOR: with W workers each executor sees 1/W of
+# the partition invocations per superstep, so C2 compilation takes ~W x
+# more supersteps than single-JVM local mode — warm-up must cover the
+# LARGEST level (8 supersteps for 4 workers; local-mode harness uses 4)
+WARMUP = int(os.environ.get("GIRAPH_CLUSTER_WARMUP", "8"))
 MASTER_URL = "spark://127.0.0.1:7077"
 SPARK_HOME = os.path.join(
     os.path.dirname(os.path.abspath(__import__("pyspark").__file__))
