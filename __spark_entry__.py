@@ -193,7 +193,7 @@ def _pagerank_weighted_sql(iters: int, damping: float = 0.85) -> str:
     )
 
 
-def _lpa_sql(iters: int) -> str:
+def _lpa_parts(iters: int) -> list[str]:
     parts = [_GRAPH, _SYM, "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)"]
     for k in range(iters):
         parts.append(
@@ -216,7 +216,37 @@ def _lpa_sql(iters: int) -> str:
   FROM l{k} v LEFT JOIN (SELECT dst, label FROM w{k} WHERE rn = 1) m ON m.dst = v.id
 )"""
         )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{iters}"
+    return parts
+
+
+def _lpa_sql(iters: int) -> str:
+    return (
+        "WITH " + ",\n".join(_lpa_parts(iters)) + f"\nSELECT id, label FROM l{iters}"
+    )
+
+
+def _modularity_sql(iters: int) -> str:
+    """Newman modularity of the LPA(iters) partition over the symmetric
+    graph — intra-edge fraction minus the degree-mass null model."""
+    lab = f"l{iters}"
+    parts = _lpa_parts(iters) + [
+        f"""mm AS MATERIALIZED (
+  SELECT count(*)::DOUBLE AS two_m,
+         sum(CASE WHEN a.label = b.label THEN 1.0 ELSE 0.0 END) AS intra
+  FROM sym e JOIN {lab} a ON a.id = e.src JOIN {lab} b ON b.id = e.dst)""",
+        f"""dcm AS MATERIALIZED (
+  SELECT l.label, count(*)::DOUBLE AS m
+  FROM sym e JOIN {lab} l ON l.id = e.src GROUP BY l.label)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT round((SELECT intra FROM mm) / (SELECT two_m FROM mm)
+       - sum(m * m) / ((SELECT two_m FROM mm) * (SELECT two_m FROM mm)),
+       6) AS modularity
+FROM dcm"""
+    )
 
 
 def _sssp_sql(iters: int) -> str:
@@ -290,6 +320,47 @@ def _k_core_sql(k: int, rounds: int) -> str:
 SELECT v.id, (CASE WHEN c.src IS NULL THEN 0 ELSE 1 END)::BIGINT AS in_core
 FROM verts v
 LEFT JOIN (SELECT DISTINCT src FROM e{rounds}) c ON c.src = v.id"""
+    )
+
+
+def _k_truss_sql(k: int, rounds: int) -> str:
+    """Unrolled triangle-support peel: h{r} holds the surviving u<v
+    half-edges; ``rounds`` must exceed the peeling depth (extra rounds
+    are idempotent at the fixpoint, so over-provisioning is safe)."""
+
+    def _support(r: int) -> str:
+        return f"""s{r} AS MATERIALIZED (
+  SELECT u, v, count(*)::BIGINT AS sup FROM (
+    SELECT e1.u AS u, e1.v AS v FROM h{r} e1
+    JOIN h{r} e2 ON e2.u = e1.v JOIN h{r} e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.u, e2.v FROM h{r} e1
+    JOIN h{r} e2 ON e2.u = e1.v JOIN h{r} e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.v, e2.v FROM h{r} e1
+    JOIN h{r} e2 ON e2.u = e1.v JOIN h{r} e3 ON e3.u = e1.u AND e3.v = e2.v
+  ) GROUP BY u, v)"""
+
+    parts = [
+        _GRAPH,
+        _SYM,
+        "h0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym WHERE src < dst)",
+    ]
+    for r in range(rounds):
+        parts.append(_support(r))
+        parts.append(
+            f"""h{r + 1} AS MATERIALIZED (
+  SELECT h.u, h.v FROM h{r} h JOIN s{r} s ON s.u = h.u AND s.v = h.v
+  WHERE s.sup >= {k - 2})"""
+        )
+    parts.append(_support(rounds))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT h.u, h.v, coalesce(s.sup, 0)::BIGINT AS support
+FROM h{rounds} h LEFT JOIN s{rounds} s ON s.u = h.u AND s.v = h.v
+WHERE coalesce(s.sup, 0) >= {k - 2}"""
     )
 
 
@@ -1066,6 +1137,32 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(spark, demo_edges(spark, sf_dir), k=20, num_partitions=NP)
 
 
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed demo graph (mutual-link fraction)."""
+    from giraph_spark.graph import reciprocity
+
+    return reciprocity(demo_edges(spark, sf_dir)).select(
+        F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3T/W of the demo graph."""
+    from giraph_spark.graph import transitivity
+
+    return transitivity(demo_edges(spark, sf_dir)).select(
+        F.round("transitivity", 6).alias("transitivity")
+    )
+
+
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the demo graph — every surviving edge closes >= 2
+    triangles inside the truss; (u, v, support) with u < v."""
+    from giraph_spark.algorithms.kcore import k_truss
+
+    return k_truss(spark, demo_edges(spark, sf_dir), k=4, num_partitions=NP)
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities, 5 power iterations (L2-normalized)."""
     from giraph_spark.algorithms.hits import hits
@@ -1097,7 +1194,41 @@ def q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _harmonic_sql(n_seeds: int, iters: int) -> str:
+def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-seed eccentricity from the 8 lowest-id seeds — the sampled-BFS
+    diameter lower bound, sharing the single multi-seed BFS with
+    ``q_harmonic``."""
+    from giraph_spark.algorithms.paths import eccentricity
+
+    e = demo_edges(spark, sf_dir)
+    seeds = [
+        r.id
+        for r in e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .orderBy("id")
+        .limit(8)
+        .collect()
+    ]
+    run = eccentricity(spark, e, seeds, num_partitions=NP)
+    return run.vertices.select("seed", "eccentricity", "n_reached")
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA(3) community partition — the quality
+    scalar a community-detection pipeline reports next to its labels."""
+    from giraph_spark.graph import modularity
+
+    e = demo_edges(spark, sf_dir)
+    labels = label_propagation(spark, e, max_supersteps=3, num_partitions=NP).vertices
+    return modularity(e, labels).select(
+        F.round("modularity", 6).alias("modularity")
+    )
+
+
+def _multi_bfs_parts(n_seeds: int, iters: int) -> list[str]:
+    """Unrolled multi-seed BFS from the ``n_seeds`` lowest-id vertices:
+    b{iters} holds every reached (seed, id, d) pair."""
     parts = [
         _GRAPH,
         f"seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_seeds})",
@@ -1114,9 +1245,24 @@ def _harmonic_sql(n_seeds: int, iters: int) -> str:
   ) GROUP BY seed, id
 )"""
         )
+    return parts
+
+
+def _eccentricity_sql(n_seeds: int, iters: int) -> str:
     return (
         "WITH "
-        + ",\n".join(parts)
+        + ",\n".join(_multi_bfs_parts(n_seeds, iters))
+        + f"""
+SELECT seed, max(d)::BIGINT AS eccentricity,
+       sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::BIGINT AS n_reached
+FROM b{iters} GROUP BY seed"""
+    )
+
+
+def _harmonic_sql(n_seeds: int, iters: int) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_multi_bfs_parts(n_seeds, iters))
         + f"""
 SELECT v.id, round(coalesce(h.h, 0.0), 6) AS harmonic,
        coalesce(h.c, 0)::BIGINT AS n_reached
@@ -1831,10 +1977,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_global": q_triangle_global,
         "clustering_coeff": q_clustering_coeff,
         "k_core": q_k_core,
+        "k_truss": q_k_truss,
+        "reciprocity": q_reciprocity,
+        "transitivity": q_transitivity,
         "hits": q_hits,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
+        "eccentricity": q_eccentricity,
+        "modularity": q_modularity,
         "random_walks": q_random_walks,
         "node2vec": q_node2vec,
         "neighbor_sample": q_neighbor_sample,
@@ -1940,10 +2091,26 @@ FROM verts v
 LEFT JOIN tcnt t ON t.id = v.id
 JOIN deg d ON d.id = v.id""",
         "k_core": _k_core_sql(20, 8),
+        "k_truss": _k_truss_sql(4, 8),
+        "reciprocity": f"""WITH {_GRAPH},
+dd AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+SELECT round(avg(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+       AS reciprocity
+FROM dd e LEFT JOIN dd r ON r.src = e.dst AND r.dst = e.src""",
+        "transitivity": f"""WITH {_GRAPH},
+{_SYM},
+o AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst),
+t AS (SELECT count(*)::DOUBLE AS t FROM o e1
+      JOIN o e2 ON e2.a = e1.b JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+w AS (SELECT sum(deg * (deg - 1.0)) / 2.0 AS w
+      FROM (SELECT count(*)::DOUBLE AS deg FROM sym GROUP BY src))
+SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "hits": _hits_sql(5),
         "adamic_adar": _adamic_adar_sql(25),
         "assortativity": _ASSORTATIVITY_SQL,
         "harmonic": _harmonic_sql(8, 15),
+        "eccentricity": _eccentricity_sql(8, 15),
+        "modularity": _modularity_sql(3),
         "random_walks": _random_walks_sql(6, 7),
         "node2vec": _node2vec_sql(5, 2.0, 0.5, 11),
         "neighbor_sample": _neighbor_sample_sql(3, 5),

@@ -78,3 +78,114 @@ def k_core(
     for slot in ("edges", "verts"):
         cuts.release(slot)
     return out
+
+
+def k_truss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    symmetrize_input: bool = True,
+    num_partitions: int | None = None,
+    max_rounds: int = 100,
+) -> DataFrame:
+    """The k-truss: maximal subgraph whose every edge closes >= k-2
+    triangles *within the subgraph* — (u, v, support) rows with u < v,
+    support = that edge's final-round triangle count.
+
+    Not in the reference (beyond-reference cohesion metric, SURVEY §2.8):
+    trusses are the standard community-core refinement of k-cores for
+    link graphs (every k-truss is inside the (k-1)-core but not vice
+    versa).
+
+    Shape: each round enumerates the shrinking subgraph's triangles with
+    the same degeneracy-ordered wedge join as ``triangles_per_vertex``
+    (hub fan-out bounded by orientation), distributes each triangle to
+    its three undirected edges with one map-side-combined count, drops
+    light edges, and re-checks the edge count — one triangle pass + one
+    action per round, edge set monotonically shrinking. The dominant
+    cost is the first round's full triangle join, identical to a plain
+    triangle count at 100 TB.
+    """
+    from giraph_spark.algorithms.triangles import _oriented, _triangle_list_from
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cuts = LineageCuts()
+    if symmetrize_input:
+        from giraph_spark.graph import clean_symmetric
+
+        sym0 = clean_symmetric(edges)
+    else:
+        sym0 = edges.select("src", "dst")
+    sym = cuts.cut(sym0.repartition(num_partitions, "src"), "sym")
+    n_edges = sym.count()  # symmetric rows = 2x undirected edges
+    min_support = k - 2
+
+    sup = None
+    converged = n_edges == 0
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            converged = True
+            break
+        o = _oriented(sym, symmetrize_input=False)
+        tris = _triangle_list_from(o)
+        tri_edges = (
+            tris.select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .union(
+                tris.select(
+                    F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v")
+                )
+            )
+            .union(
+                tris.select(
+                    F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v")
+                )
+            )
+        )
+        sup = cuts.cut(
+            sym.where(F.col("src") < F.col("dst"))
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .join(
+                tri_edges.groupBy("u", "v").agg(
+                    F.count(F.lit(1)).alias("support")
+                ),
+                ["u", "v"],
+                "left",
+            )
+            .select(
+                "u", "v", F.coalesce("support", F.lit(0)).alias("support")
+            ),
+            "support",
+        )
+        kept = sup.where(F.col("support") >= min_support)
+        sym = cuts.cut(
+            kept.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+            .union(kept.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+            .repartition(num_partitions, "src"),
+            "sym",
+        )
+        n_kept = sym.count()
+        if n_kept == n_edges:
+            converged = True
+            break
+        n_edges = n_kept
+
+    if not converged:
+        raise RuntimeError(
+            "k_truss: round budget exhausted before the edge set reached "
+            "a fixpoint; raise max_rounds"
+        )
+    if sup is None or n_edges == 0:
+        cuts.release("sym")
+        cuts.release("support")
+        schema = "u long, v long, support long"
+        return spark.createDataFrame([], schema)
+    out = cuts.cut(
+        sup.where(F.col("support") >= min_support), "result"
+    )
+    cuts.release("sym")
+    cuts.release("support")
+    cuts.forget("result")  # backs the returned DataFrame
+    return out

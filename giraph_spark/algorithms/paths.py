@@ -129,7 +129,7 @@ def bfs(
     )
 
 
-def harmonic_centrality(
+def multi_seed_distances(
     spark: SparkSession,
     edges: DataFrame,
     seeds: list[int],
@@ -137,20 +137,15 @@ def harmonic_centrality(
     num_partitions: int | None = None,
     verbose: bool = False,
 ) -> PregelRun:
-    """Harmonic centrality over a seed sample: H(v) = Σ_{s: d(s,v)>0} 1/d(s,v)
-    (inbound distances — the ranking Common Crawl publishes for its host
-    graph; with seeds = all vertices this is exact, with a uniform sample
-    scale by N/|seeds| for the standard estimator).
+    """One BFS carrying all seeds at once: result ``vertices`` holds the
+    REACHED (seed, id, dist) pairs (unreached pairs absent).
 
-    One multi-seed BFS: the frontier is (seed, id) pairs, so per superstep
-    the scatter is ONE edge join carrying all seeds at once (work
-    O(|seeds|·E) total, not |seeds| sequential BFS jobs); state holds only
-    REACHED (seed, id, dist) rows — on a web graph each seed reaches most
+    The frontier is (seed, id) pairs, so per superstep the scatter is ONE
+    edge join for every seed together (work O(|seeds|·E) total, not
+    |seeds| sequential BFS jobs); on a web graph each seed reaches most
     vertices, so state peaks at |seeds|·V, the same bound a per-seed loop
-    would pay in time instead of space.
-
-    Result ``vertices``: (id, harmonic, n_reached) for every vertex,
-    0.0 / 0 when no seed reaches it.
+    would pay in time instead of space. Shared core of
+    ``harmonic_centrality`` and ``eccentricity``.
     """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -202,6 +197,35 @@ def harmonic_centrality(
         halt=lambda stats, i: stats["changed"] == 0,
         verbose=verbose,
     )
+    e.unpersist()
+    return PregelRun(
+        vertices=run.vertices.select("seed", "id", "dist"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Harmonic centrality over a seed sample: H(v) = Σ_{s: d(s,v)>0} 1/d(s,v)
+    (inbound distances — the ranking Common Crawl publishes for its host
+    graph; with seeds = all vertices this is exact, with a uniform sample
+    scale by N/|seeds| for the standard estimator).
+
+    Result ``vertices``: (id, harmonic, n_reached) for every vertex,
+    0.0 / 0 when no seed reaches it.
+    """
+    run = multi_seed_distances(
+        spark, edges, seeds, max_supersteps, num_partitions, verbose
+    )
+    verts = vertices_from_edges(edges)
     reached = run.vertices.groupBy("id").agg(
         F.sum(
             F.when(F.col("dist") > 0, F.lit(1.0) / F.col("dist")).otherwise(0.0)
@@ -218,7 +242,39 @@ def harmonic_centrality(
             F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
         )
     )
-    e.unpersist()
+    return PregelRun(
+        vertices=out,
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )
+
+
+def eccentricity(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Per-seed eccentricity over the REACHABLE set: ecc(s) = max_v d(s, v)
+    (directed hops), plus how many vertices s reaches. The max over any
+    seed sample lower-bounds the graph diameter — the standard
+    sampled-BFS diameter estimator for web-scale graphs, one multi-seed
+    BFS regardless of sample size.
+
+    Result ``vertices``: (seed, eccentricity, n_reached), one row per seed.
+    """
+    run = multi_seed_distances(
+        spark, edges, seeds, max_supersteps, num_partitions, verbose
+    )
+    out = run.vertices.groupBy("seed").agg(
+        F.max("dist").cast("long").alias("eccentricity"),
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reached"),
+    )
     return PregelRun(
         vertices=out,
         supersteps=run.supersteps,

@@ -591,3 +591,75 @@ def test_pagerank_warm_start(spark):
     assert set(a) == set(b)
     for k in a:
         assert abs(a[k] - b[k]) < 1e-5, k
+
+
+def test_eccentricity_path_and_sink_seed(spark):
+    from giraph_spark.algorithms.paths import eccentricity
+
+    # directed path 0->1->2->3; seed 3 has no out-edges (ecc 0 over
+    # its reachable set, n_reached 0)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    run = eccentricity(spark, e, seeds=[0, 1, 3])
+    got = {r.seed: (r.eccentricity, r.n_reached) for r in run.vertices.collect()}
+    assert got == {0: (3, 3), 1: (2, 2), 3: (0, 0)}
+    assert run.converged
+
+
+def test_modularity_two_triangles(spark):
+    from giraph_spark.graph import modularity
+
+    # two triangles bridged by one edge: Q of the natural partition is
+    # 12/14 - 2*(7/14)^2 = 5/14
+    tri = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = spark.createDataFrame(tri, "src long, dst long")
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, label long"
+    )
+    q = modularity(e, labels).collect()[0][0]
+    assert abs(q - 5.0 / 14.0) < 1e-9
+    # one community holding everything scores exactly 0
+    one = spark.createDataFrame([(i, 7) for i in range(6)], "id long, label long")
+    assert abs(modularity(e, one).collect()[0][0]) < 1e-9
+
+
+def test_k_truss_two_triangles_and_k4(spark):
+    from giraph_spark.algorithms.kcore import k_truss
+
+    # triangles (0,1,2) and (1,2,3) share edge (1,2): its support is 2,
+    # every other edge's is 1
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    t3 = {(r.u, r.v): r.support for r in k_truss(spark, e, k=3).collect()}
+    assert t3 == {(0, 1): 1, (0, 2): 1, (1, 2): 2, (1, 3): 1, (2, 3): 1}
+    # k=4 peels everything: dropping the support-1 edges leaves (1,2)
+    # triangle-free, so the 4-truss is empty
+    assert k_truss(spark, e, k=4).count() == 0
+    # K4 is its own 4-truss (every edge in exactly 2 triangles)
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)],
+        "src long, dst long",
+    )
+    t4 = {(r.u, r.v): r.support for r in k_truss(spark, k4, k=4).collect()}
+    assert t4 == {(a, b): 2 for a in range(4) for b in range(a + 1, 4)}
+
+
+def test_reciprocity_and_transitivity(spark):
+    from giraph_spark.graph import reciprocity, transitivity
+
+    # (0,1)+(1,0) mutual, (1,2) not; self-loop and duplicate ignored
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 2), (1, 2)], "src long, dst long"
+    )
+    assert abs(reciprocity(e).collect()[0][0] - 2.0 / 3.0) < 1e-12
+    # triangle: every wedge closed
+    tri = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "src long, dst long")
+    assert abs(transitivity(tri).collect()[0][0] - 1.0) < 1e-12
+    # path: two wedge-less leaves + one open wedge -> 0
+    path = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    assert transitivity(path).collect()[0][0] == 0.0
+    # single edge: no wedge at all -> NULL (try_divide)
+    one = spark.createDataFrame([(0, 1)], "src long, dst long")
+    assert transitivity(one).collect()[0][0] is None
