@@ -1137,6 +1137,143 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(spark, demo_edges(spark, sf_dir), k=20, num_partitions=NP)
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-source Brandes betweenness from the 8 lowest-id seeds (the
+    sampled estimator; raw directed dependencies, unnormalized)."""
+    from giraph_spark.algorithms.betweenness import betweenness_centrality
+
+    e = demo_edges(spark, sf_dir)
+    seeds = [
+        r.id
+        for r in e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .orderBy("id")
+        .limit(8)
+        .collect()
+    ]
+    return betweenness_centrality(spark, e, seeds).select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
+def _betweenness_sql(n_seeds: int, depth: int) -> str:
+    """Unrolled Brandes: forward BFS levels f0..f{depth} with sigma
+    sums, then backward dependency CTEs d{depth}..d0; ``depth`` must be
+    >= the max seed eccentricity (empty levels are harmless)."""
+    parts = [
+        _GRAPH,
+        f"seeds AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_seeds})",
+        "f0 AS MATERIALIZED (SELECT id AS seed, id, 1.0::DOUBLE AS sigma FROM seeds)",
+        "s0 AS MATERIALIZED (SELECT seed, id FROM f0)",
+    ]
+    for k in range(depth):
+        parts.append(
+            f"""f{k + 1} AS MATERIALIZED (
+  SELECT f.seed, e.dst AS id, sum(f.sigma) AS sigma
+  FROM f{k} f JOIN edges e ON e.src = f.id
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s{k} s WHERE s.seed = f.seed AND s.id = e.dst)
+  GROUP BY f.seed, e.dst)"""
+        )
+        parts.append(
+            f"""s{k + 1} AS MATERIALIZED (
+  SELECT seed, id FROM s{k} UNION ALL SELECT seed, id FROM f{k + 1})"""
+        )
+    parts.append(
+        f"d{depth} AS MATERIALIZED (SELECT seed, id, sigma, 0.0::DOUBLE AS delta FROM f{depth})"
+    )
+    for lvl in range(depth - 1, -1, -1):
+        parts.append(
+            f"""d{lvl} AS MATERIALIZED (
+  SELECT f.seed, f.id, f.sigma, f.sigma * coalesce(g.s, 0.0) AS delta
+  FROM f{lvl} f LEFT JOIN (
+    SELECT w.seed, e.src AS id, sum((1.0 + w.delta) / w.sigma) AS s
+    FROM d{lvl + 1} w JOIN edges e ON e.dst = w.id
+    GROUP BY w.seed, e.src
+  ) g ON g.seed = f.seed AND g.id = f.id)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT id, delta FROM d{lvl}" for lvl in range(1, depth + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id, round(coalesce(b.b, 0.0), 6) AS betweenness
+FROM verts v LEFT JOIN (
+  SELECT id, sum(delta) AS b FROM (
+    {union}
+  ) GROUP BY id
+) b ON b.id = v.id"""
+    )
+
+
+def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, 5 power iterations (L2-normalized)."""
+    from giraph_spark.algorithms.hits import eigenvector_centrality
+
+    run = eigenvector_centrality(
+        spark, demo_edges(spark, sf_dir), max_supersteps=5, num_partitions=NP
+    )
+    return run.vertices.select("id", F.round("score", 7).alias("score"))
+
+
+def _eigenvector_sql(iters: int) -> str:
+    parts = [
+        _GRAPH,
+        """x0 AS MATERIALIZED (
+  SELECT id, 1.0 / sqrt((SELECT count(*) FROM verts)) AS x FROM verts)""",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""r{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(m.s, 0.0) AS r
+  FROM x{k} v LEFT JOIN (
+    SELECT e.dst AS id, sum(x.x) AS s
+    FROM edges e JOIN x{k} x ON x.id = e.src GROUP BY e.dst
+  ) m ON m.id = v.id)"""
+        )
+        parts.append(
+            f"""x{k + 1} AS MATERIALIZED (
+  SELECT id, r / (SELECT sqrt(sum(r * r)) FROM r{k}) AS x FROM r{k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(x, 7) AS score FROM x{iters}"
+    )
+
+
+def q_watts_strogatz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watts-Strogatz small-world generator, 512 vertices x 4 lattice
+    neighbors, beta=0.1 — every generated edge replayed exactly by the
+    portable-hash oracle (reference WattsStrogatzVertexInputFormat)."""
+    from giraph_spark.datasets import watts_strogatz_edges
+
+    return watts_strogatz_edges(spark, 512, 4, 0.1, seed=7)
+
+
+def _watts_strogatz_sql(n: int, e: int, beta: float, seed: int) -> str:
+    from giraph_spark.algorithms.mis import luby_priority_sql
+
+    key = f"(src * {2 * e + 2} + 2 * j)"
+    r = luby_priority_sql(key, seed)
+    t = luby_priority_sql(f"({key} + 1)", seed)
+    return f"""WITH ws AS (
+  SELECT v.range AS src, j.range AS j FROM range(0, {n}) v, range(1, {e + 1}) j
+),
+drawn AS (
+  SELECT src,
+         CASE WHEN ({r}) % 10000 < {int(round(beta * 10_000))}
+              THEN ({t}) % {n}
+              ELSE (src + j) % {n} END AS dst
+  FROM ws
+)
+SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst
+FROM drawn WHERE src <> dst"""
+
+
 def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge reciprocity of the directed demo graph (mutual-link fraction)."""
     from giraph_spark.graph import reciprocity
@@ -1212,6 +1349,42 @@ def q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     run = eccentricity(spark, e, seeds, num_partitions=NP)
     return run.vertices.select("seed", "eccentricity", "n_reached")
+
+
+def q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachable-set closeness from the 8 lowest-id seeds — third
+    aggregate over the same single multi-seed BFS as harmonic and
+    eccentricity."""
+    from giraph_spark.algorithms.paths import closeness_centrality
+
+    e = demo_edges(spark, sf_dir)
+    seeds = [
+        r.id
+        for r in e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .orderBy("id")
+        .limit(8)
+        .collect()
+    ]
+    run = closeness_centrality(spark, e, seeds, num_partitions=NP)
+    return run.vertices.select(
+        "seed", F.round("closeness", 6).alias("closeness"), "n_reached"
+    )
+
+
+def _closeness_sql(n_seeds: int, iters: int) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_multi_bfs_parts(n_seeds, iters))
+        + f"""
+SELECT s.id AS seed, round(r.c / r.sd, 6) AS closeness,
+       coalesce(r.c, 0)::BIGINT AS n_reached
+FROM seeds s LEFT JOIN (
+  SELECT seed, count(*)::DOUBLE AS c, sum(d)::DOUBLE AS sd
+  FROM b{iters} WHERE d > 0 GROUP BY seed
+) r ON r.seed = s.id"""
+    )
 
 
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1978,13 +2151,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "k_core": q_k_core,
         "k_truss": q_k_truss,
+        "watts_strogatz": q_watts_strogatz,
         "reciprocity": q_reciprocity,
         "transitivity": q_transitivity,
         "hits": q_hits,
+        "eigenvector": q_eigenvector,
+        "betweenness": q_betweenness,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
         "eccentricity": q_eccentricity,
+        "closeness": q_closeness,
         "modularity": q_modularity,
         "random_walks": q_random_walks,
         "node2vec": q_node2vec,
@@ -2092,6 +2269,7 @@ LEFT JOIN tcnt t ON t.id = v.id
 JOIN deg d ON d.id = v.id""",
         "k_core": _k_core_sql(20, 8),
         "k_truss": _k_truss_sql(4, 8),
+        "watts_strogatz": _watts_strogatz_sql(512, 4, 0.1, 7),
         "reciprocity": f"""WITH {_GRAPH},
 dd AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
 SELECT round(avg(CASE WHEN r.src IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
@@ -2106,10 +2284,13 @@ w AS (SELECT sum(deg * (deg - 1.0)) / 2.0 AS w
       FROM (SELECT count(*)::DOUBLE AS deg FROM sym GROUP BY src))
 SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "hits": _hits_sql(5),
+        "eigenvector": _eigenvector_sql(5),
+        "betweenness": _betweenness_sql(8, 8),
         "adamic_adar": _adamic_adar_sql(25),
         "assortativity": _ASSORTATIVITY_SQL,
         "harmonic": _harmonic_sql(8, 15),
         "eccentricity": _eccentricity_sql(8, 15),
+        "closeness": _closeness_sql(8, 15),
         "modularity": _modularity_sql(3),
         "random_walks": _random_walks_sql(6, 7),
         "node2vec": _node2vec_sql(5, 2.0, 0.5, 11),

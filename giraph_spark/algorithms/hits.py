@@ -165,3 +165,101 @@ def hits(
         converged=run.converged,
         history=run.history,
     )
+
+
+def eigenvector_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_supersteps: int = 10,
+    tolerance: float | None = None,
+    salt: int | None = None,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Eigenvector centrality by power iteration on in-edges:
+    x' = A^T x, L2-normalized each superstep — the HITS authority
+    update without the hub alternation (the other classic spectral
+    link score; beyond-reference, SURVEY §2.8). Result ``vertices``:
+    (id, score), unit L2 norm.
+
+    Same scale shape as ``hits``: edge table exchanged once, one
+    algebraic (map-side-combined, saltable) gather plus ONE driver
+    action per superstep; ``tolerance`` halts on angular movement
+    1 - cos(x', x).
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = dedup_edges(edges.select("src", "dst"))
+    e_fwd = e.repartition(num_partitions, "src").persist()
+
+    verts = vertices_from_edges(e)
+    n_vertices = verts.count()
+    if n_vertices == 0:
+        return PregelRun(
+            vertices=verts.select("id", F.lit(0.0).alias("score")),
+            supersteps=0,
+            converged=True,
+        )
+
+    init = 1.0 / (n_vertices ** 0.5)
+    state = verts.select("id", F.lit(init).alias("score")).repartition(
+        num_partitions, "id"
+    )
+    box: dict[str, DataFrame | None] = {"prev_raw": None}
+
+    def _release_prev() -> None:
+        prev = box["prev_raw"]
+        if prev is not None:
+            prev.unpersist()
+            box["prev_raw"] = None
+
+    def step(vertices: DataFrame, superstep: int):
+        _release_prev()
+        msgs = e_fwd.join(
+            vertices.select(F.col("id").alias("src"), "score").hint("shuffle_hash"),
+            "src",
+        ).select("dst", F.col("score").alias("msg"))
+        raw = (
+            vertices.join(
+                gather_messages(msgs, [("msg", "sum")], key="dst", salt=salt)
+                .withColumnRenamed("dst", "id")
+                .hint("shuffle_hash"),
+                "id",
+                "left",
+            )
+            .select("id", "score", F.coalesce("msg", F.lit(0.0)).alias("raw"))
+            .persist()
+        )
+        box["prev_raw"] = raw
+        norms = raw.agg(
+            F.sum(F.col("raw") * F.col("raw")).alias("n2"),
+            F.sum(F.col("raw") * F.col("score")).alias("dot"),
+        ).collect()[0]
+        n = float(norms["n2"]) ** 0.5 or 1.0
+        delta = 1.0 - float(norms["dot"]) / n
+        return (
+            raw.select("id", (F.col("raw") / F.lit(n)).alias("score")),
+            {"norm": n, "delta": delta},
+        )
+
+    halt = None
+    if tolerance is not None:
+        halt = lambda stats, i: stats["delta"] < tolerance  # noqa: E731
+
+    run = run_supersteps(
+        spark,
+        state,
+        step,
+        max_supersteps=max_supersteps,
+        halt=halt,
+        verbose=verbose,
+    )
+    _release_prev()
+    e_fwd.unpersist()
+    return PregelRun(
+        vertices=run.vertices.select("id", "score"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )

@@ -281,3 +281,42 @@ def eccentricity(
         converged=run.converged,
         history=run.history,
     )
+
+
+def closeness_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Per-seed closeness over the reachable set:
+    C(s) = n_reached / Σ_{v: d(s,v)>0} d(s,v) — the reachable-set
+    variant every disconnected/directed web graph needs (classic
+    closeness is undefined there). NULL when s reaches nothing.
+
+    Result ``vertices``: (seed, closeness, n_reached); shares the single
+    multi-seed BFS with ``harmonic_centrality`` / ``eccentricity``.
+    """
+    run = multi_seed_distances(
+        spark, edges, seeds, max_supersteps, num_partitions, verbose
+    )
+    reached = run.vertices.where(F.col("dist") > 0)
+    out = reached.groupBy("seed").agg(
+        F.try_divide(
+            F.count(F.lit(1)).cast("double"), F.sum("dist").cast("double")
+        ).alias("closeness"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+    # seeds that reach nothing still get a row (closeness NULL)
+    all_seeds = spark.createDataFrame([(int(s),) for s in seeds], "seed long")
+    out = all_seeds.join(out, "seed", "left").select(
+        "seed", "closeness", F.coalesce("n_reached", F.lit(0)).alias("n_reached")
+    )
+    return PregelRun(
+        vertices=out,
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )

@@ -184,3 +184,57 @@ def deadlock_demo_requests(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") * DL_BLOCK).cast("long").alias("tag"),
     )
     return base.unionByName(heads)
+
+
+def watts_strogatz_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    edges_per_vertex: int,
+    beta: float,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic Watts-Strogatz small-world generator — ring lattice
+    of ``edges_per_vertex`` forward neighbors per vertex, each edge
+    re-wired to a uniform random target with probability ``beta``
+    (reference: ``io/formats/WattsStrogatzVertexInputFormat.java:40-62``,
+    knobs wattsStrogatz.{aggregateVertices,edgesPerVertex,beta,seed}).
+
+    Deviations for determinism + cross-engine replay: the re-wire draw
+    and target come from the portable 31-bit mix of
+    ``algorithms.mis.luby_priority`` (the reference uses
+    ``java.util.Random``), and a re-wire that lands on a self-loop or an
+    existing pair is dropped rather than re-drawn (the reference retries
+    against a per-vertex set). Same shape — high clustering, short
+    paths — and an ANSI-SQL oracle can replay every edge exactly.
+
+    Scale shape: pure ``spark.range`` + ``posexplode`` + integer
+    expressions, no shuffle until the final dedup; a 10^9-edge lattice
+    generates at scan speed.
+    """
+    from giraph_spark.algorithms.mis import luby_priority
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    e = int(edges_per_vertex)
+    base = spark.range(0, n_vertices, numPartitions=partitions).select(
+        F.col("id").alias("src")
+    )
+    ring = base.select(
+        "src", F.posexplode(F.sequence(F.lit(1), F.lit(e))).alias("_", "j")
+    ).drop("_")
+    # two independent draws per (src, j): re-wire decision and new target
+    key = F.col("src") * F.lit(2 * e + 2) + F.lit(2) * F.col("j")
+    rewire = F.pmod(luby_priority(key, seed), F.lit(10_000)) < F.lit(
+        int(round(beta * 10_000))
+    )
+    rand_dst = F.pmod(luby_priority(key + F.lit(1), seed), F.lit(n_vertices))
+    lattice_dst = F.pmod(F.col("src") + F.col("j"), F.lit(n_vertices))
+    return (
+        ring.select(
+            "src",
+            F.when(rewire, rand_dst).otherwise(lattice_dst).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )

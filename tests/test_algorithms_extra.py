@@ -663,3 +663,38 @@ def test_reciprocity_and_transitivity(spark):
     # single edge: no wedge at all -> NULL (try_divide)
     one = spark.createDataFrame([(0, 1)], "src long, dst long")
     assert transitivity(one).collect()[0][0] is None
+
+
+def test_watts_strogatz_lattice_and_rewiring(spark):
+    from giraph_spark.datasets import watts_strogatz_edges
+
+    # beta=0: the exact ring lattice, no edge dropped
+    ws0 = watts_strogatz_edges(spark, 64, 3, 0.0, seed=3)
+    got = {(r.src, r.dst) for r in ws0.collect()}
+    want = {(v, (v + j) % 64) for v in range(64) for j in (1, 2, 3)}
+    assert got == want
+    # beta=1: every edge re-drawn -> far from the lattice, deterministic
+    ws1 = watts_strogatz_edges(spark, 64, 3, 1.0, seed=3)
+    g1 = {(r.src, r.dst) for r in ws1.collect()}
+    assert g1 == {(r.src, r.dst) for r in watts_strogatz_edges(spark, 64, 3, 1.0, seed=3).collect()}
+    assert len(g1 & want) < len(want) // 2
+
+
+def test_betweenness_path_diamond_multiseed(spark):
+    from giraph_spark.algorithms.betweenness import betweenness_centrality
+
+    # diamond 0->{1,2}->3, seed 0: two shortest paths to 3 split the
+    # dependency: delta(1) = delta(2) = 1/2
+    dia = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = {r.id: r.betweenness for r in betweenness_centrality(spark, dia, [0]).collect()}
+    assert got == {0: 0.0, 1: 0.5, 2: 0.5, 3: 0.0}
+    # path 0->1->2->3, seeds {0,1}: B(1) = delta_0(1) = 2,
+    # B(2) = delta_0(2) + delta_1(2) = 1 + 1
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    got = {
+        r.id: r.betweenness
+        for r in betweenness_centrality(spark, path, [0, 1]).collect()
+    }
+    assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
