@@ -1137,6 +1137,59 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(spark, demo_edges(spark, sf_dir), k=20, num_partitions=NP)
 
 
+def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA hubs & authorities, 5 degree-normalized power iterations
+    (L1-normalized distributions)."""
+    from giraph_spark.algorithms.hits import salsa
+
+    run = salsa(spark, demo_edges(spark, sf_dir), max_supersteps=5, num_partitions=NP)
+    return run.vertices.select(
+        "id", F.round("auth", 7).alias("auth"), F.round("hub", 7).alias("hub")
+    )
+
+
+def _salsa_sql(iters: int) -> str:
+    parts = [
+        _GRAPH,
+        "od AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS od FROM edges GROUP BY src)",
+        "idg AS MATERIALIZED (SELECT dst, count(*)::DOUBLE AS idg FROM edges GROUP BY dst)",
+        """sl0 AS MATERIALIZED (
+  SELECT id, 1.0 / (SELECT count(*) FROM verts) AS auth,
+         1.0 / (SELECT count(*) FROM verts) AS hub FROM verts)""",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""sar{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(m.s, 0.0) AS a_raw
+  FROM sl{k} v LEFT JOIN (
+    SELECT e.dst AS id, sum(x.hub / o.od) AS s
+    FROM edges e JOIN sl{k} x ON x.id = e.src JOIN od o ON o.src = e.src
+    GROUP BY e.dst
+  ) m ON m.id = v.id)"""
+        )
+        parts.append(
+            f"""shr{k} AS MATERIALIZED (
+  SELECT v.id, coalesce(m.s, 0.0) AS h_raw
+  FROM sl{k} v LEFT JOIN (
+    SELECT e.src AS id, sum(a.a_raw / i.idg) AS s
+    FROM edges e JOIN sar{k} a ON a.id = e.dst JOIN idg i ON i.dst = e.dst
+    GROUP BY e.src
+  ) m ON m.id = v.id)"""
+        )
+        parts.append(
+            f"""sl{k + 1} AS MATERIALIZED (
+  SELECT a.id,
+         a.a_raw / (SELECT sum(a_raw) FROM sar{k}) AS auth,
+         h.h_raw / (SELECT sum(h_raw) FROM shr{k}) AS hub
+  FROM sar{k} a JOIN shr{k} h ON h.id = a.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(auth, 7) AS auth, round(hub, 7) AS hub FROM sl{iters}"
+    )
+
+
 def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-source Brandes betweenness from the 8 lowest-id seeds (the
     sampled estimator; raw directed dependencies, unnormalized)."""
@@ -2156,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "hits": q_hits,
         "eigenvector": q_eigenvector,
+        "salsa": q_salsa,
         "betweenness": q_betweenness,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
@@ -2285,6 +2339,7 @@ w AS (SELECT sum(deg * (deg - 1.0)) / 2.0 AS w
 SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "hits": _hits_sql(5),
         "eigenvector": _eigenvector_sql(5),
+        "salsa": _salsa_sql(5),
         "betweenness": _betweenness_sql(8, 8),
         "adamic_adar": _adamic_adar_sql(25),
         "assortativity": _ASSORTATIVITY_SQL,

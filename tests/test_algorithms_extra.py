@@ -698,3 +698,21 @@ def test_betweenness_path_diamond_multiseed(spark):
         for r in betweenness_centrality(spark, path, [0, 1]).collect()
     }
     assert got == {0: 0.0, 1: 2.0, 2: 2.0, 3: 0.0}
+
+
+def test_salsa_star_and_l1(spark):
+    from giraph_spark.algorithms.hits import salsa
+
+    # 3 hubs -> one authority: auth concentrates on 0, hubs split evenly
+    star = spark.createDataFrame([(1, 0), (2, 0), (3, 0)], "src long, dst long")
+    run = salsa(spark, star, max_supersteps=4)
+    got = {r.id: (r.auth, r.hub) for r in run.vertices.collect()}
+    assert abs(got[0][0] - 1.0) < 1e-12 and abs(got[0][1]) < 1e-12
+    for u in (1, 2, 3):
+        assert abs(got[u][0]) < 1e-12 and abs(got[u][1] - 1.0 / 3.0) < 1e-12
+    # L1 masses stay 1 on an arbitrary graph
+    rows = [((i * 7 + 3) % 30, (i * 11 + 5) % 30) for i in range(80)]
+    g = spark.createDataFrame([(a, b) for a, b in rows if a != b], "src long, dst long")
+    run2 = salsa(spark, g, max_supersteps=3)
+    s = run2.vertices.agg(F.sum("auth"), F.sum("hub")).collect()[0]
+    assert abs(s[0] - 1.0) < 1e-9 and abs(s[1] - 1.0) < 1e-9
