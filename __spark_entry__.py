@@ -1137,6 +1137,57 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(spark, demo_edges(spark, sf_dir), k=20, num_partitions=NP)
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (CORE/IN/OUT/OTHER) of the demo
+    graph relative to the canonical max-degree seed's SCC — two
+    set-reachability closures, the web-graph structural census."""
+    from giraph_spark.algorithms.bowtie import bowtie_decomposition
+
+    return bowtie_decomposition(spark, demo_edges(spark, sf_dir), num_partitions=NP)
+
+
+def _bowtie_sql(iters: int) -> str:
+    parts = [
+        _GRAPH,
+        "bod AS MATERIALIZED (SELECT src AS id, count(*) AS c FROM edges GROUP BY src)",
+        "bid AS MATERIALIZED (SELECT dst AS id, count(*) AS c FROM edges GROUP BY dst)",
+        """bseed AS MATERIALIZED (
+  SELECT v.id FROM verts v
+  LEFT JOIN bod ON bod.id = v.id LEFT JOIN bid ON bid.id = v.id
+  ORDER BY coalesce(bod.c, 0) + coalesce(bid.c, 0) DESC, v.id ASC LIMIT 1)""",
+        "ff0 AS MATERIALIZED (SELECT id FROM bseed)",
+        "bb0 AS MATERIALIZED (SELECT id FROM bseed)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""ff{k + 1} AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM ff{k}
+    UNION ALL
+    SELECT e.dst AS id FROM ff{k} f JOIN edges e ON e.src = f.id))"""
+        )
+        parts.append(
+            f"""bb{k + 1} AS MATERIALIZED (
+  SELECT DISTINCT id FROM (
+    SELECT id FROM bb{k}
+    UNION ALL
+    SELECT e.src AS id FROM bb{k} b JOIN edges e ON e.dst = b.id))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id,
+  CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'CORE'
+       WHEN b.id IS NOT NULL THEN 'IN'
+       WHEN f.id IS NOT NULL THEN 'OUT'
+       ELSE 'OTHER' END AS region
+FROM verts v
+LEFT JOIN ff{iters} f ON f.id = v.id
+LEFT JOIN bb{iters} b ON b.id = v.id"""
+    )
+
+
 def q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SALSA hubs & authorities, 5 degree-normalized power iterations
     (L1-normalized distributions)."""
@@ -2210,6 +2261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "eigenvector": q_eigenvector,
         "salsa": q_salsa,
+        "bowtie": q_bowtie,
         "betweenness": q_betweenness,
         "adamic_adar": q_adamic_adar,
         "assortativity": q_assortativity,
@@ -2340,6 +2392,7 @@ SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "hits": _hits_sql(5),
         "eigenvector": _eigenvector_sql(5),
         "salsa": _salsa_sql(5),
+        "bowtie": _bowtie_sql(15),
         "betweenness": _betweenness_sql(8, 8),
         "adamic_adar": _adamic_adar_sql(25),
         "assortativity": _ASSORTATIVITY_SQL,

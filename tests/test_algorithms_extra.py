@@ -716,3 +716,20 @@ def test_salsa_star_and_l1(spark):
     run2 = salsa(spark, g, max_supersteps=3)
     s = run2.vertices.agg(F.sum("auth"), F.sum("hub")).collect()[0]
     assert abs(s[0] - 1.0) < 1e-9 and abs(s[1] - 1.0) < 1e-9
+
+
+def test_bowtie_classic_shape(spark):
+    from giraph_spark.algorithms.bowtie import bowtie_decomposition, canonical_seed
+
+    # IN: 10->0; CORE: 0<->1 cycle (seed = max-degree vertex 0);
+    # OUT: 1->20->21; OTHER: 30->31 disconnected
+    e = spark.createDataFrame(
+        [(10, 0), (0, 1), (1, 0), (1, 20), (20, 21), (30, 31)],
+        "src long, dst long",
+    )
+    assert canonical_seed(e) == 0  # degree 3, beats vertex 1 on id tie? no: 1 also 3 -> min id
+    got = {r.id: r.region for r in bowtie_decomposition(spark, e).collect()}
+    assert got == {
+        0: "CORE", 1: "CORE", 10: "IN", 20: "OUT", 21: "OUT",
+        30: "OTHER", 31: "OTHER",
+    }
