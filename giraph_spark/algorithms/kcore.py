@@ -189,3 +189,84 @@ def k_truss(
     cuts.release("support")
     cuts.forget("result")  # backs the returned DataFrame
     return out
+
+
+def coreness(
+    spark: SparkSession,
+    edges: DataFrame,
+    symmetrize_input: bool = True,
+    num_partitions: int | None = None,
+    max_rounds: int = 500,
+) -> DataFrame:
+    """Full k-core decomposition: (id, coreness) where coreness(v) is the
+    largest k such that v survives k-core peeling (0 for vertices that
+    start isolated — impossible here since vertices come from edges, so
+    the minimum emitted value is 1).
+
+    Shape: ascending-k sequential peeling, each k starting from the
+    (k-1)-core's edge set (monotone containment), so total work is the
+    peel cascade itself — the standard distributed decomposition. Each
+    round costs one degree aggregate + two semi-joins + one count, and
+    for all k below the graph's minimum degree the round is a verified
+    no-op (one round each).
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cuts = LineageCuts()
+    e0 = symmetrize(edges) if symmetrize_input else edges.select("src", "dst")
+    e = cuts.cut(e0.repartition(num_partitions, "src"), "edges")
+    prev_verts = cuts.cut(vertices_from_edges(e), "prev_verts")
+    n_edges = e.count()
+    result: DataFrame | None = None
+    k = 0
+    rounds_left = max_rounds
+
+    while n_edges > 0:
+        k += 1
+        # peel e down to its k-core fixpoint
+        while True:
+            rounds_left -= 1
+            if rounds_left < 0:
+                raise RuntimeError(
+                    "coreness: round budget exhausted; raise max_rounds"
+                )
+            keep = (
+                e.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .where(F.col("d") >= k)
+                .select("src")
+            )
+            e2 = cuts.cut(
+                e.join(keep, "src", "left_semi").join(
+                    keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+                ).select("src", "dst"),
+                "edges",
+            )
+            n2 = e2.count()
+            e = e2
+            if n2 == n_edges:
+                break
+            n_edges = n2
+        # survivors of the k-core; the symmetric edge set guarantees
+        # every member appears as a src
+        cur_verts = cuts.cut(e.select(F.col("src").alias("id")).distinct(), "cur_verts")
+        dropped = prev_verts.join(cur_verts, "id", "left_anti").select(
+            "id", F.lit(k - 1).cast("long").alias("coreness")
+        )
+        result = cuts.cut(
+            dropped
+            if result is None
+            else result.union(dropped).coalesce(num_partitions),
+            "result",
+        )
+        prev_verts = cuts.cut(cur_verts, "prev_verts")
+        cuts.release("cur_verts")
+
+    # the loop ends when the k-core is empty: remaining prev_verts peaked
+    # at k-1 (they survived the (k-1)-core but not the k-core)
+    tail = prev_verts.select("id", F.lit(max(k - 1, 0)).cast("long").alias("coreness"))
+    out = (tail if result is None else result.union(tail)).localCheckpoint(eager=True)
+    cuts.release("edges")
+    cuts.release("prev_verts")
+    cuts.release("result")
+    return out

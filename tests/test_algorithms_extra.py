@@ -733,3 +733,17 @@ def test_bowtie_classic_shape(spark):
         0: "CORE", 1: "CORE", 10: "IN", 20: "OUT", 21: "OUT",
         30: "OTHER", 31: "OTHER",
     }
+
+
+def test_coreness_k4_pendant_triangle(spark):
+    from giraph_spark.algorithms.kcore import coreness
+
+    # K4 (coreness 3) + pendant 9 off vertex 0 (coreness 1) + triangle
+    # {5,6,7} (coreness 2) bridged to K4 by edge 5-0
+    e = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        + [(0, 9), (5, 6), (6, 7), (5, 7), (5, 0)],
+        "src long, dst long",
+    )
+    got = {r.id: r.coreness for r in coreness(spark, e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 1, 5: 2, 6: 2, 7: 2}
