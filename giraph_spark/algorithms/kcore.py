@@ -218,7 +218,19 @@ def coreness(
     prev_verts = cuts.cut(vertices_from_edges(e), "prev_verts")
     n_edges = e.count()
     result: DataFrame | None = None
-    k = 0
+    # the whole graph IS the k-core for every k up to its minimum
+    # symmetric degree (coreness >= d_min for all vertices), so those
+    # peels are verified no-ops — start above them
+    if n_edges > 0:
+        d_min = int(
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(F.min("d"))
+            .collect()[0][0]
+        )
+        k = max(d_min - 1, 0)
+    else:
+        k = 0
     rounds_left = max_rounds
 
     while n_edges > 0:
