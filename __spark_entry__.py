@@ -1456,6 +1456,65 @@ FROM verts v LEFT JOIN (
     )
 
 
+def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full truss decomposition of the demo graph (trussness 2..4 at
+    sf0.01) — the edge analog of coreness."""
+    from giraph_spark.algorithms.kcore import trussness
+
+    return trussness(spark, demo_edges(spark, sf_dir), num_partitions=NP)
+
+
+def _trussness_sql(rounds_per_k: dict[int, int]) -> str:
+    """Chained per-k truss peels (measured cascade depths at sf0.01:
+    k=3 needs 2, k=4 needs 4, k=5 needs 2 — over-provisioned by caller);
+    trussness = max k whose final truss contains the edge, else 2."""
+    parts = [
+        _GRAPH,
+        _SYM,
+        "th0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym WHERE src < dst)",
+    ]
+    idx = 0
+    finals = {}
+    prev = "th0"
+    for k in sorted(rounds_per_k):
+        for _ in range(rounds_per_k[k]):
+            parts.append(
+                f"""ts{idx} AS MATERIALIZED (
+  SELECT u, v, count(*)::BIGINT AS sup FROM (
+    SELECT e1.u AS u, e1.v AS v FROM {prev} e1
+    JOIN {prev} e2 ON e2.u = e1.v JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.u, e2.v FROM {prev} e1
+    JOIN {prev} e2 ON e2.u = e1.v JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.v, e2.v FROM {prev} e1
+    JOIN {prev} e2 ON e2.u = e1.v JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+  ) GROUP BY u, v)"""
+            )
+            parts.append(
+                f"""th{idx + 1} AS MATERIALIZED (
+  SELECT h.u, h.v FROM {prev} h JOIN ts{idx} s ON s.u = h.u AND s.v = h.v
+  WHERE s.sup >= {k - 2})"""
+            )
+            prev = f"th{idx + 1}"
+            idx += 1
+        finals[k] = prev
+    member_union = "\n    UNION ALL ".join(
+        f"SELECT u, v, {k} AS k FROM {finals[k]}" for k in sorted(finals)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT h.u, h.v, coalesce(m.t, 2)::BIGINT AS trussness
+FROM th0 h LEFT JOIN (
+  SELECT u, v, max(k) AS t FROM (
+    {member_union}
+  ) GROUP BY u, v
+) m ON m.u = h.u AND m.v = h.v"""
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities, 5 power iterations (L2-normalized)."""
     from giraph_spark.algorithms.hits import hits
@@ -2308,6 +2367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "k_truss": q_k_truss,
         "coreness": q_coreness,
+        "trussness": q_trussness,
         "watts_strogatz": q_watts_strogatz,
         "reciprocity": q_reciprocity,
         "transitivity": q_transitivity,
@@ -2429,6 +2489,7 @@ JOIN deg d ON d.id = v.id""",
         "k_core": _k_core_sql(20, 8),
         "k_truss": _k_truss_sql(4, 8),
         "coreness": _coreness_sql(8, 21, 8, 34),
+        "trussness": _trussness_sql({3: 4, 4: 6, 5: 4}),
         "watts_strogatz": _watts_strogatz_sql(512, 4, 0.1, 7),
         "reciprocity": f"""WITH {_GRAPH},
 dd AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)

@@ -282,3 +282,110 @@ def coreness(
     cuts.release("prev_verts")
     cuts.release("result")
     return out
+
+
+def trussness(
+    spark: SparkSession,
+    edges: DataFrame,
+    symmetrize_input: bool = True,
+    num_partitions: int | None = None,
+    max_rounds: int = 300,
+) -> DataFrame:
+    """Full truss decomposition: (u, v, trussness) per undirected edge,
+    where trussness(e) is the largest k such that e survives k-truss
+    peeling (triangle-free edges get the conventional 2, since the
+    2-truss requires zero triangles).
+
+    The edge analog of ``coreness`` and the same ascending-k incremental
+    shape: each k peels from the (k-1)-truss's edge set, each round one
+    degeneracy-oriented triangle pass + one count action.
+    """
+    from giraph_spark.algorithms.triangles import _oriented, _triangle_list_from
+
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cuts = LineageCuts()
+    if symmetrize_input:
+        from giraph_spark.graph import clean_symmetric
+
+        sym0 = clean_symmetric(edges)
+    else:
+        sym0 = edges.select("src", "dst")
+    sym = cuts.cut(sym0.repartition(num_partitions, "src"), "sym")
+    half = cuts.cut(
+        sym.where(F.col("src") < F.col("dst")).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        ),
+        "half",
+    )
+    n = half.count()
+    result: DataFrame | None = None
+    k = 2
+    rounds_left = max_rounds
+
+    while n > 0:
+        k += 1
+        before = cuts.cut(half, "before")
+        while True:
+            rounds_left -= 1
+            if rounds_left < 0:
+                raise RuntimeError(
+                    "trussness: round budget exhausted; raise max_rounds"
+                )
+            o = _oriented(sym, symmetrize_input=False)
+            tris = _triangle_list_from(o)
+            tri_edges = (
+                tris.select(
+                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+                )
+                .union(
+                    tris.select(
+                        F.least("a", "c").alias("u"),
+                        F.greatest("a", "c").alias("v"),
+                    )
+                )
+                .union(
+                    tris.select(
+                        F.least("b", "c").alias("u"),
+                        F.greatest("b", "c").alias("v"),
+                    )
+                )
+            )
+            sup = tri_edges.groupBy("u", "v").agg(
+                F.count(F.lit(1)).alias("support")
+            )
+            kept = half.join(sup, ["u", "v"], "left").where(
+                F.coalesce("support", F.lit(0)) >= k - 2
+            ).select("u", "v")
+            half = cuts.cut(kept, "half")
+            sym = cuts.cut(
+                half.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+                .union(
+                    half.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+                )
+                .repartition(num_partitions, "src"),
+                "sym",
+            )
+            n_kept = half.count()
+            if n_kept == n:
+                break
+            n = n_kept
+            if n == 0:
+                break
+        dropped = before.join(half, ["u", "v"], "left_anti").select(
+            "u", "v", F.lit(k - 1).cast("long").alias("trussness")
+        )
+        result = cuts.cut(
+            dropped
+            if result is None
+            else result.union(dropped).coalesce(num_partitions),
+            "result",
+        )
+
+    if result is None:
+        out = spark.createDataFrame([], "u long, v long, trussness long")
+    else:
+        out = result.localCheckpoint(eager=True)
+    for slot in ("sym", "half", "before", "result"):
+        cuts.release(slot)
+    return out

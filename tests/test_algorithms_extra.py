@@ -747,3 +747,24 @@ def test_coreness_k4_pendant_triangle(spark):
     )
     got = {r.id: r.coreness for r in coreness(spark, e).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 1, 5: 2, 6: 2, 7: 2}
+
+
+def test_trussness_two_triangles_and_k4(spark):
+    from giraph_spark.algorithms.kcore import trussness
+
+    # two triangles sharing edge (1,2): the 4-truss dissolves (shared
+    # edge alone closes nothing), so every edge peaks at 3
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    got = {(r.u, r.v): r.trussness for r in trussness(spark, e).collect()}
+    assert got == {(0, 1): 3, (0, 2): 3, (1, 2): 3, (1, 3): 3, (2, 3): 3}
+    # K4 plus a pendant: K4 edges trussness 4, pendant edge 2
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(0, 9)],
+        "src long, dst long",
+    )
+    got = {(r.u, r.v): r.trussness for r in trussness(spark, k4).collect()}
+    want = {(a, b): 4 for a in range(4) for b in range(a + 1, 4)}
+    want[(0, 9)] = 2
+    assert got == want
