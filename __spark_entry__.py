@@ -2334,6 +2334,198 @@ ORDER BY round(rank, 6) DESC, host ASC LIMIT 10"""
 
 
 # ---------------------------------------------------------------------------
+# repetition / PII / contamination / neighborhood-jaccard (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter signals per document."""
+    from giraph_spark.text import repetition_stats
+
+    r = repetition_stats(_docs(spark, sf_dir))
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_token_frac",
+        "top_2gram_frac",
+        "dup_3gram_frac",
+        F.col("repetitive").cast("long").alias("repetitive"),
+    )
+
+
+_REPETITION_SQL = f"""WITH {_POS_TOKENS},
+base AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         count(DISTINCT token)::BIGINT AS n_distinct
+  FROM tok GROUP BY doc_id),
+toptok AS (
+  SELECT doc_id, max(c)::BIGINT AS top_token_c FROM (
+    SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token)
+  GROUP BY doc_id),
+g2 AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS shingle
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+top2 AS (
+  SELECT doc_id, max(c)::BIGINT AS top_2gram_c FROM (
+    SELECT doc_id, shingle, count(*) AS c FROM g2 GROUP BY doc_id, shingle)
+  GROUP BY doc_id),
+g3 AS (
+  SELECT a.doc_id, a.token || ' ' || b.token || ' ' || c.token AS shingle
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+d3 AS (
+  SELECT doc_id, count(*)::BIGINT AS n3,
+         count(DISTINCT shingle)::BIGINT AS n3d
+  FROM g3 GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       round(1.0 - b.n_distinct / b.n_tokens::DOUBLE, 6) AS dup_token_frac,
+       round(tt.top_token_c / b.n_tokens::DOUBLE, 6) AS top_token_frac,
+       round(least(1.0, 2.0 * coalesce(t2.top_2gram_c, 0) / b.n_tokens::DOUBLE), 6) AS top_2gram_frac,
+       round(coalesce(1.0 - d3.n3d / d3.n3::DOUBLE, 0.0), 6) AS dup_3gram_frac,
+       (least(1.0, 2.0 * coalesce(t2.top_2gram_c, 0) / b.n_tokens::DOUBLE) > 0.20
+        OR coalesce(1.0 - d3.n3d / d3.n3::DOUBLE, 0.0) > 0.30)::BIGINT AS repetitive
+FROM base b
+JOIN toptok tt ON tt.doc_id = b.doc_id
+LEFT JOIN top2 t2 ON t2.doc_id = b.doc_id
+LEFT JOIN d3 ON d3.doc_id = b.doc_id"""
+
+
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    """Deterministically salt the synthetic corpus with PII so the scan
+    has non-trivial positives; same expression as the oracle CTE."""
+    did = F.col("doc_id")
+    s = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" contact user"), s, F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 555 "),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact over the deterministically salted corpus."""
+    from giraph_spark.text import pii_scan
+
+    return pii_scan(_pii_injected(_docs(spark, sf_dir)))
+
+
+def _pii_scan_sql() -> str:
+    from giraph_spark.text import PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE
+
+    return f"""WITH d AS (
+  SELECT doc_id,
+         lower(text)
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+              ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' call +1 555 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS t0
+  FROM documents),
+r1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+         regexp_replace(t0, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM d),
+r2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PII_IPV4_RE}'))::BIGINT AS n_ips,
+         regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+  FROM r1),
+r3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+         regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t3
+  FROM r2)
+SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS redacted_md5 FROM r3"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: training docs (doc_id % 97 != 0)
+    sharing ≥1 word 4-gram with the held-out benchmark slice
+    (doc_id % 97 == 0). 4-grams because the synthetic corpus is short;
+    a production pipeline uses the same plan with 8-13-grams."""
+    from giraph_spark.text import contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return contamination(train, bench, n=4)
+
+
+_CONTAMINATION_SQL = """WITH tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS r FROM documents),
+pos AS (
+  SELECT doc_id, r, unnest(r) AS token, generate_subscripts(r, 1) AS p FROM tokarr),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(r[p:p+3], ' ') AS shingle
+  FROM pos WHERE p + 3 <= len(r)),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, count(*)::BIGINT AS n_shared
+FROM sh s JOIN bsh b ON b.shingle = s.shingle
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id"""
+
+
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-Jaccard vertex similarity: unlinked pairs witnessed
+    by a common neighbor of degree ≤ 25 (same disclosed cap as
+    adamic_adar); exact degrees from the full symmetric graph."""
+    from giraph_spark.algorithms.linkpred import neighborhood_jaccard
+
+    return neighborhood_jaccard(demo_edges(spark, sf_dir), max_degree=25).select(
+        "u", "v", "common_neighbors", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _neighbor_jaccard_sql(max_degree: int) -> str:
+    return f"""WITH {_GRAPH},
+{_SYM},
+deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+adj AS MATERIALIZED (
+  SELECT s.src AS z, s.dst AS nbr, d.deg
+  FROM sym s JOIN deg d ON d.src = s.src WHERE d.deg <= {max_degree}),
+p AS (
+  SELECT a.nbr AS u, b.nbr AS v
+  FROM adj a JOIN adj b ON b.z = a.z AND a.nbr < b.nbr),
+sc AS MATERIALIZED (
+  SELECT u, v, count(*)::BIGINT AS common_neighbors FROM p GROUP BY u, v)
+SELECT sc.u, sc.v, sc.common_neighbors,
+       round(sc.common_neighbors / (du.deg + dv.deg - sc.common_neighbors)::DOUBLE, 6) AS jaccard
+FROM sc
+JOIN deg du ON du.src = sc.u
+JOIN deg dv ON dv.src = sc.v
+WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = sc.u AND e.dst = sc.v)"""
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -2377,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "betweenness": q_betweenness,
         "adamic_adar": q_adamic_adar,
+        "neighbor_jaccard": q_neighbor_jaccard,
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
         "eccentricity": q_eccentricity,
@@ -2400,6 +2593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "repetition": q_repetition,
+        "pii_scan": q_pii_scan,
+        "contamination": q_contamination,
         "jaccard_near_dup": q_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -2510,6 +2706,10 @@ SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "bowtie": _bowtie_sql(15),
         "betweenness": _betweenness_sql(8, 8),
         "adamic_adar": _adamic_adar_sql(25),
+        "neighbor_jaccard": _neighbor_jaccard_sql(25),
+        "repetition": _REPETITION_SQL,
+        "pii_scan": _pii_scan_sql(),
+        "contamination": _CONTAMINATION_SQL,
         "assortativity": _ASSORTATIVITY_SQL,
         "harmonic": _harmonic_sql(8, 15),
         "eccentricity": _eccentricity_sql(8, 15),

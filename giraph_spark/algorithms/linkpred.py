@@ -107,3 +107,60 @@ def neighborhood_mean(
         agg = msgs.groupBy(F.col("dst").alias("id")).agg(F.avg("m").alias(f"h{k}"))
         out = out.join(agg, "id", "left")
     return out.drop("h0")
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    max_degree: int | None = None,
+    include_existing: bool = False,
+) -> DataFrame:
+    """Vertex-similarity link prediction: Jaccard of neighborhoods.
+
+    (u, v, common_neighbors, jaccard) for every unordered pair u<v with
+    ≥1 common neighbor, ``jaccard = |N(u)∩N(v)| / |N(u)∪N(v)|`` with
+    ``|union| = deg(u) + deg(v) - common`` (degrees over the FULL
+    symmetric graph, so the score is exact even when ``max_degree``
+    caps which pivots may WITNESS a pair).
+
+    Same wedge-join scale shape as :func:`adamic_adar` (fan-out bounded
+    by cap² per pivot); the two degree lookups are joins against the
+    small (|V|-row) degree table — broadcastable at any corpus scale
+    where |V| ≪ |E|.
+    """
+    sym = clean_symmetric(edges)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = sym.join(deg, "src").select(
+        F.col("src").alias("z"), F.col("dst").alias("nbr"), "deg"
+    )
+    if max_degree is not None:
+        adj = adj.where(F.col("deg") <= max_degree)
+    a, b = adj.alias("a"), adj.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.z") == F.col("b.z")) & (F.col("a.nbr") < F.col("b.nbr")),
+    ).select(F.col("a.nbr").alias("u"), F.col("b.nbr").alias("v"))
+    common = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("deg_v"))
+    scored = (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )
+    if not include_existing:
+        scored = scored.join(
+            sym.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+    return scored

@@ -142,3 +142,155 @@ def fingerprints(docs: DataFrame, n: int = 3) -> DataFrame:
     """
     sh = shingles(docs, n)
     return sh.groupBy("doc_id").agg(F.min(F.md5(F.col("shingle"))).alias("fingerprint"))
+
+
+def ngram_occurrences(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, shingle) with one row per OCCURRENCE (not distinct) —
+    the multiset the repetition metrics need. Same codegen-only
+    array-slicing construction as :func:`shingles`."""
+    toks = F.expr(f"regexp_extract_all(lower(text), '({TOKEN_RE})', 1)")
+    base = docs.select("doc_id", F.posexplode(toks).alias("pos0", "token"), toks.alias("_toks"))
+    parts = [F.col("_toks").getItem(F.col("pos0") + i) for i in range(n)]
+    return base.where(F.col("pos0") + n <= F.size("_toks")).select(
+        "doc_id", F.concat_ws(" ", *parts).alias("shingle")
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Returns (doc_id, n_tokens, dup_token_frac, top_token_frac,
+    top_2gram_frac, dup_3gram_frac, repetitive):
+
+    - ``dup_token_frac``   1 - distinct/total tokens (bag redundancy)
+    - ``top_token_frac``   occurrences of the modal token / total
+    - ``top_2gram_frac``   tokens covered by the modal 2-gram
+      (2 × its count / n_tokens capped at 1.0 — overlapping
+      occurrences can overcount; 0 when the doc has < 2 tokens)
+    - ``dup_3gram_frac``   fraction of 3-gram occurrences that are
+      repeats: 1 - distinct/total 3-grams (0 when < 3 tokens)
+    - ``repetitive``       the filter bit a pipeline drops on
+      (top_2gram_frac > 0.20 OR dup_3gram_frac > 0.30)
+
+    These mirror the published Gopher / MassiveText repetition filters
+    (dup-line metrics are omitted: the corpus is single-line). All
+    ratios rounded to 6 dp for cross-engine bit-stability.
+
+    Scale shape: three scans of the token stream, each ONE map-side-
+    combined groupBy — no joins except the final 1:1 merges on doc_id;
+    at 100 TB each metric is a shuffle keyed by (doc_id[, gram]) with
+    combine, nothing quadratic.
+    """
+    t = tokenize(docs)
+    base = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+    )
+    top_tok = (
+        t.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_token_c"))
+    )
+    g2 = ngram_occurrences(docs, 2)
+    top_2g = (
+        g2.groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_2gram_c"))
+    )
+    g3 = ngram_occurrences(docs, 3)
+    d3 = g3.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_3grams"),
+        F.countDistinct("shingle").alias("n_3grams_distinct"),
+    )
+    n = F.col("n_tokens").cast("double")
+    # coalesce the COUNT, not the ratio: least() in Spark and DuckDB both
+    # ignore nulls, so least(1.0, null) = 1.0 would mark 1-token docs
+    # maximally repetitive
+    top2 = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.coalesce(F.col("top_2gram_c"), F.lit(0)) / n,
+    )
+    dup3 = F.coalesce(
+        F.lit(1.0) - F.col("n_3grams_distinct") / F.col("n_3grams").cast("double"),
+        F.lit(0.0),
+    )
+    out = (
+        base.join(top_tok, "doc_id")
+        .join(top_2g, "doc_id", "left")
+        .join(d3, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1.0) - F.col("n_distinct") / n, 6).alias("dup_token_frac"),
+        F.round(F.col("top_token_c") / n, 6).alias("top_token_frac"),
+        F.round(top2, 6).alias("top_2gram_frac"),
+        F.round(dup3, 6).alias("dup_3gram_frac"),
+        ((top2 > 0.20) | (dup3 > 0.30)).alias("repetitive"),
+    )
+
+
+# PII grammar — shared verbatim with the DuckDB oracles. RE2-safe (no
+# backrefs / lookaround) so Java regex and RE2 agree on every input.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+PII_PHONE_RE = "\\+[0-9]{1,2} [0-9]{3} [0-9]{4}"
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction over a text column.
+
+    Returns (doc_id, n_emails, n_ips, n_phones, redacted_md5) where
+    ``redacted_md5`` is md5 of the text after replacing each match class
+    with ``<EMAIL>`` / ``<IP>`` / ``<PHONE>`` (emails first, so an
+    address is never half-eaten by the IP rule). The hash, not the
+    text, is returned so the scan result is small and oracle-stable.
+
+    Scale shape: pure JVM ``regexp_extract_all`` / ``regexp_replace``
+    inside whole-stage codegen — one scan, no shuffle at all (the
+    output is per-row). At 100 TB this is the cheapest op in the
+    pipeline; the patterns are RE2-compatible (linear-time, no
+    catastrophic backtracking on adversarial documents).
+    """
+    c = F.lower(F.col(text_col))
+    n_emails = F.size(F.expr(f"regexp_extract_all(lower({text_col}), '({PII_EMAIL_RE})', 1)"))
+    redact = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(redact, F.lit(f"({PII_IPV4_RE})"), F.lit(1)))
+    redact = F.regexp_replace(redact, PII_IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(redact, F.lit(f"({PII_PHONE_RE})"), F.lit(1)))
+    redact = F.regexp_replace(redact, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(redact).alias("redacted_md5"),
+    )
+
+
+def contamination(
+    docs: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing word
+    ``n``-grams with an eval/benchmark set.
+
+    Returns (doc_id, n_shared) for every training doc with at least one
+    distinct ``n``-gram that also occurs in ANY benchmark doc — the
+    decontamination report a pretraining pipeline acts on (the method
+    used for GPT-3/PaLM-style 8-13-gram dedup against eval sets; 5 here
+    because the synthetic corpus is short).
+
+    Scale shape: the benchmark shingle set is tiny next to the corpus,
+    so it is deduped then BROADCAST; the check is a broadcast semi-ish
+    inner join on the shingle string (hashable to 8 bytes at real scale)
+    followed by one map-side-combined count per doc. No shuffle of the
+    corpus-side shingle stream beyond the final per-doc count.
+    """
+    bench_sh = shingles(benchmark, n).select("shingle").distinct()
+    doc_sh = shingles(docs, n)
+    hits = doc_sh.join(F.broadcast(bench_sh), "shingle")
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )

@@ -282,3 +282,100 @@ def test_hyperplane_signatures_deterministic(emb):
     # one row per (vector, band)
     n = emb.count()
     assert len(a) == n * 8
+
+
+def test_repetition_stats_python_oracle(spark):
+    from giraph_spark.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a b a b"),            # heavy 2-gram repetition
+        (2, "one two three four five"),    # all distinct
+        (3, "x x x x x x"),                # single-token repetition
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # doc 1: 8 tokens, 2 distinct; modal token 'a' x4; modal 2-gram
+    # 'a b' x4 of 7 2-grams; 6 3-grams, 2 distinct
+    assert got[1]["n_tokens"] == 8
+    assert got[1]["dup_token_frac"] == round(1 - 2 / 8, 6)
+    assert got[1]["top_token_frac"] == 0.5
+    assert got[1]["top_2gram_frac"] == 1.0
+    assert got[1]["dup_3gram_frac"] == round(1 - 2 / 6, 6)
+    assert got[1]["repetitive"] is True
+    # doc 2: no repetition at all
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_2gram_frac"] == round(2 / 5, 6)
+    assert got[2]["dup_3gram_frac"] == 0.0
+    # doc 3: one token repeated
+    assert got[3]["top_token_frac"] == 1.0
+    assert got[3]["dup_3gram_frac"] == 0.75
+    assert got[3]["repetitive"] is True
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    from giraph_spark.text import pii_scan
+
+    rows = [
+        (1, "mail me at Bob.Smith+x@Example.COM today"),
+        (2, "server at 192.168.0.1 and 10.0.0.2"),
+        (3, "call +1 555 0134 now"),
+        (4, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scan(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ips"], got[1]["n_phones"]) == (1, 0, 0)
+    assert (got[2]["n_emails"], got[2]["n_ips"], got[2]["n_phones"]) == (0, 2, 0)
+    assert (got[3]["n_emails"], got[3]["n_ips"], got[3]["n_phones"]) == (0, 0, 1)
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (0, 0, 0)
+    # redaction: the hash of doc 1 equals md5 of the expected redacted text
+    exp = hashlib.md5(b"mail me at <EMAIL> today").hexdigest()
+    assert got[1]["redacted_md5"] == exp
+    exp4 = hashlib.md5(b"nothing sensitive here").hexdigest()
+    assert got[4]["redacted_md5"] == exp4
+
+
+def test_contamination_overlap(spark):
+    from giraph_spark.text import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "zzz alpha beta gamma delta yyy"),   # shares 2 distinct 4-grams? no: 1
+            (2, "alpha beta gamma delta epsilon"),   # identical: 2 4-grams
+            (3, "totally clean document here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in contamination(train, bench, n=4).collect()}
+    assert got[1] == 1  # 'alpha beta gamma delta'
+    assert got[2] == 2  # both 4-grams of the 5-token doc
+    assert 3 not in got
+
+
+def test_neighborhood_jaccard_triangle_plus_tail(spark):
+    from giraph_spark.algorithms.linkpred import neighborhood_jaccard
+
+    # path 1-2, 2-3 plus tail 3-4: candidate pair (1,3) via z=2;
+    # N(1)={2}, N(3)={2,4} -> jaccard 1/2; (2,4) via z=3: N(2)={1,3},
+    # N(4)={3} -> 1/2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {(r["u"], r["v"]): r for r in neighborhood_jaccard(edges).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    assert got[(1, 3)]["common_neighbors"] == 1
+    assert abs(got[(1, 3)]["jaccard"] - 0.5) < 1e-12
+    assert abs(got[(2, 4)]["jaccard"] - 0.5) < 1e-12
+
+
+def test_repetition_stats_single_token_doc(spark):
+    from giraph_spark.text import repetition_stats
+
+    docs = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    row = repetition_stats(docs).collect()[0]
+    # no 2-grams / 3-grams exist: fractions must be 0, not null-poisoned 1
+    assert row["top_2gram_frac"] == 0.0
+    assert row["dup_3gram_frac"] == 0.0
+    assert row["repetitive"] is False
