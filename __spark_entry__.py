@@ -2494,6 +2494,38 @@ WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id"""
 
 
+def q_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact neighborhood function N(t), t = 0..8, on the symmetrized
+    block-local graph (the same bounded-ball fixture the SCC oracle
+    uses, so the DuckDB closure stays at sum-of-64² pairs per block).
+    The HLL-sketch HyperANF scale path over the full graph is
+    pytest-verified against this exact baseline (tests/test_anf.py)."""
+    from giraph_spark.algorithms.anf import anf_exact
+    from giraph_spark.datasets import scc_demo_edges
+
+    return anf_exact(spark, scc_demo_edges(spark, sf_dir), max_t=8)
+
+
+def _anf_sql(max_t: int) -> str:
+    parts = [
+        f"edges AS MATERIALIZED ({SCC_EDGES_SQL})",
+        """sym AS MATERIALIZED (SELECT DISTINCT * FROM (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges))""",
+        "r0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS u FROM sym)",
+    ]
+    for t in range(1, max_t + 1):
+        parts.append(
+            f"""r{t} AS MATERIALIZED (SELECT DISTINCT v, u FROM (
+  SELECT r.v, e.dst AS u FROM r{t - 1} r JOIN sym e ON e.src = r.u
+  UNION ALL SELECT v, u FROM r{t - 1}))"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {t}::BIGINT AS t, (SELECT count(*) FROM r{t})::BIGINT AS n_pairs"
+        for t in range(max_t + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood-Jaccard vertex similarity: unlinked pairs witnessed
     by a common neighbor of degree ≤ 25 (same disclosed cap as
@@ -2570,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": q_betweenness,
         "adamic_adar": q_adamic_adar,
         "neighbor_jaccard": q_neighbor_jaccard,
+        "anf": q_anf,
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
         "eccentricity": q_eccentricity,
@@ -2707,6 +2740,7 @@ SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "betweenness": _betweenness_sql(8, 8),
         "adamic_adar": _adamic_adar_sql(25),
         "neighbor_jaccard": _neighbor_jaccard_sql(25),
+        "anf": _anf_sql(8),
         "repetition": _REPETITION_SQL,
         "pii_scan": _pii_scan_sql(),
         "contamination": _CONTAMINATION_SQL,
