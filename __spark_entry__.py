@@ -2526,6 +2526,58 @@ def _anf_sql(max_t: int) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous Louvain move phase, 4 parity-gated rounds. Gains are
+    compared in exact integer arithmetic (score = 2m·k_in − k·σ_adj),
+    so the DuckDB oracle replays every round bit-identically."""
+    from giraph_spark.algorithms.louvain import louvain_move_phase
+
+    return louvain_move_phase(spark, demo_edges(spark, sf_dir), rounds=4)
+
+
+def _louvain_sql(rounds: int) -> str:
+    parts = [
+        f"edges AS MATERIALIZED ({DEMO_EDGES_SQL})",
+        _SYM,
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS k FROM sym GROUP BY src)",
+        "mm AS MATERIALIZED (SELECT sum(k)::BIGINT AS m2 FROM deg)",
+        "c0 AS MATERIALIZED (SELECT id, id AS community, k FROM deg)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""sig{r} AS (SELECT community AS c, sum(k)::BIGINT AS sigma FROM c{r} GROUP BY community),
+kin{r} AS (
+  SELECT e.src AS id, s.community AS c, count(*)::BIGINT AS k_in
+  FROM sym e JOIN c{r} s ON s.id = e.dst GROUP BY e.src, s.community),
+cand{r} AS (
+  SELECT id, c, max(k_in) AS k_in FROM (
+    SELECT id, c, k_in FROM kin{r}
+    UNION ALL SELECT id, community AS c, 0::BIGINT AS k_in FROM c{r})
+  GROUP BY id, c),
+sc{r} AS (
+  SELECT d.id, d.c, s.community,
+         (SELECT m2 FROM mm) * d.k_in
+         - s.k * (g.sigma - CASE WHEN d.c = s.community THEN s.k ELSE 0 END) AS score
+  FROM cand{r} d JOIN c{r} s ON s.id = d.id JOIN sig{r} g ON g.c = d.c),
+best{r} AS (
+  SELECT id, c AS best_c FROM (
+    SELECT id, c, row_number() OVER (
+      PARTITION BY id
+      ORDER BY score DESC, (c = community) DESC, c ASC) AS rn
+    FROM sc{r}) WHERE rn = 1),
+c{r + 1} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN (s.id + {r}) % 2 = 0 THEN b.best_c ELSE s.community END AS community,
+         s.k
+  FROM c{r} s JOIN best{r} b ON b.id = s.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, community FROM c{rounds}"
+    )
+
+
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighborhood-Jaccard vertex similarity: unlinked pairs witnessed
     by a common neighbor of degree ≤ 25 (same disclosed cap as
@@ -2603,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adamic_adar": q_adamic_adar,
         "neighbor_jaccard": q_neighbor_jaccard,
         "anf": q_anf,
+        "louvain": q_louvain,
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
         "eccentricity": q_eccentricity,
@@ -2741,6 +2794,7 @@ SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "adamic_adar": _adamic_adar_sql(25),
         "neighbor_jaccard": _neighbor_jaccard_sql(25),
         "anf": _anf_sql(8),
+        "louvain": _louvain_sql(4),
         "repetition": _REPETITION_SQL,
         "pii_scan": _pii_scan_sql(),
         "contamination": _CONTAMINATION_SQL,
