@@ -2536,19 +2536,55 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _louvain_sql(rounds: int) -> str:
-    parts = [
+    head = [
         f"edges AS MATERIALIZED ({DEMO_EDGES_SQL})",
         _SYM,
+        "wsym1 AS MATERIALIZED (SELECT src, dst, 1::BIGINT AS w FROM sym)",
         "deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS k FROM sym GROUP BY src)",
         "mm AS MATERIALIZED (SELECT sum(k)::BIGINT AS m2 FROM deg)",
         "c0 AS MATERIALIZED (SELECT id, id AS community, k FROM deg)",
     ]
+    return _louvain_rounds_sql(head, "wsym1", "w", rounds)
+
+
+def q_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Louvain (integer link-count weights — the host-graph
+    case) on the demo graph with the deterministic (src·7+dst·13)%3+1
+    weights; gains stay in exact integer arithmetic."""
+    from giraph_spark.algorithms.louvain import louvain_move_phase
+
+    e = demo_edges(spark, sf_dir).withColumn(
+        "w", ((F.col("src") * 7 + F.col("dst") * 13) % 3 + 1).cast("long")
+    )
+    return louvain_move_phase(spark, e, rounds=4, weight_col="w")
+
+
+def _louvain_weighted_sql(rounds: int) -> str:
+    head = [
+        f"edges AS MATERIALIZED ({DEMO_EDGES_SQL})",
+        "we AS MATERIALIZED (SELECT src, dst, ((src * 7 + dst * 13) % 3 + 1)::BIGINT AS w FROM edges)",
+        """wsym AS MATERIALIZED (
+  SELECT src, dst, max(w)::BIGINT AS w FROM (
+    SELECT src, dst, w FROM we
+    UNION ALL SELECT dst AS src, src AS dst, w FROM we)
+  GROUP BY src, dst)""",
+        "deg AS MATERIALIZED (SELECT src AS id, sum(w)::BIGINT AS k FROM wsym GROUP BY src)",
+        "mm AS MATERIALIZED (SELECT sum(k)::BIGINT AS m2 FROM deg)",
+        "c0 AS MATERIALIZED (SELECT id, id AS community, k FROM deg)",
+    ]
+    return _louvain_rounds_sql(head, "wsym", "w", rounds)
+
+
+def _louvain_rounds_sql(
+    head: list[str], sym_name: str, w_expr: str, rounds: int
+) -> str:
+    parts = list(head)
     for r in range(rounds):
         parts.append(
             f"""sig{r} AS (SELECT community AS c, sum(k)::BIGINT AS sigma FROM c{r} GROUP BY community),
 kin{r} AS (
-  SELECT e.src AS id, s.community AS c, count(*)::BIGINT AS k_in
-  FROM sym e JOIN c{r} s ON s.id = e.dst GROUP BY e.src, s.community),
+  SELECT e.src AS id, s.community AS c, sum(e.{w_expr})::BIGINT AS k_in
+  FROM {sym_name} e JOIN c{r} s ON s.id = e.dst GROUP BY e.src, s.community),
 cand{r} AS (
   SELECT id, c, max(k_in) AS k_in FROM (
     SELECT id, c, k_in FROM kin{r}
@@ -2576,6 +2612,24 @@ c{r + 1} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"\nSELECT id, community FROM c{rounds}"
     )
+
+
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-binned in/out degree distribution of the demo graph."""
+    from giraph_spark.graph import degree_histogram
+
+    return degree_histogram(demo_edges(spark, sf_dir))
+
+
+_DEGREE_HISTOGRAM_SQL = f"""WITH {_GRAPH},
+d AS (
+  SELECT 'out' AS kind, count(*)::BIGINT AS degree FROM edges GROUP BY src
+  UNION ALL
+  SELECT 'in' AS kind, count(*)::BIGINT AS degree FROM edges GROUP BY dst)
+SELECT kind, (length(printf('%b', degree)) - 1)::BIGINT AS bucket,
+       count(*)::BIGINT AS n_vertices,
+       min(degree) AS min_degree, max(degree) AS max_degree
+FROM d GROUP BY kind, bucket"""
 
 
 def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2656,6 +2710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_jaccard": q_neighbor_jaccard,
         "anf": q_anf,
         "louvain": q_louvain,
+        "louvain_weighted": q_louvain_weighted,
+        "degree_histogram": q_degree_histogram,
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
         "eccentricity": q_eccentricity,
@@ -2795,6 +2851,8 @@ SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "neighbor_jaccard": _neighbor_jaccard_sql(25),
         "anf": _anf_sql(8),
         "louvain": _louvain_sql(4),
+        "louvain_weighted": _louvain_weighted_sql(4),
+        "degree_histogram": _DEGREE_HISTOGRAM_SQL,
         "repetition": _REPETITION_SQL,
         "pii_scan": _pii_scan_sql(),
         "contamination": _CONTAMINATION_SQL,

@@ -54,6 +54,7 @@ def louvain_move_phase(
     rounds: int = 8,
     stop_when_stable: bool = True,
     num_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Run the synchronous move phase; returns (id, community).
 
@@ -62,16 +63,30 @@ def louvain_move_phase(
     only gates half the vertices, so the other half gets its turn
     before the phase is declared stable). The move count rides the same
     action that materializes the round — one job per round.
+
+    ``weight_col``: INTEGER edge weights (link counts — the host-graph
+    case). Weights are symmetrized with the max-closure of
+    ``symmetrize_weighted`` and cast to long; integral weights keep the
+    gain argmax in exact integer arithmetic (a float weight would
+    reintroduce cross-engine tie ambiguity — rescale counts, don't pass
+    fractions).
     """
+    from giraph_spark.graph import drop_self_loops, symmetrize_weighted
+
     cuts = LineageCuts()
-    sym = clean_symmetric(edges)
+    if weight_col is None:
+        sym = clean_symmetric(edges).withColumn("w", F.lit(1).cast("long"))
+    else:
+        sym = symmetrize_weighted(drop_self_loops(edges), weight_col).select(
+            "src", "dst", F.col(weight_col).cast("long").alias("w")
+        )
     if num_partitions:
         sym = sym.repartition(num_partitions, "src")
     sym = sym.persist()
     deg = sym.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("k")
+        F.sum("w").alias("k")
     )
-    m2 = deg.agg(F.sum("k")).collect()[0][0]  # 2m (unit weights)
+    m2 = deg.agg(F.sum("k")).collect()[0][0]  # 2m (total edge weight x2)
     if not m2:
         sym.unpersist()
         return spark.createDataFrame([], "id BIGINT, community BIGINT")
@@ -89,8 +104,8 @@ def louvain_move_phase(
         nbr_comm = sym.join(
             state.select(F.col("id").alias("dst"), F.col("community").alias("c")),
             "dst",
-        ).select(F.col("src").alias("id"), "c")
-        k_in = nbr_comm.groupBy("id", "c").agg(F.count(F.lit(1)).alias("k_in"))
+        ).select(F.col("src").alias("id"), "c", "w")
+        k_in = nbr_comm.groupBy("id", "c").agg(F.sum("w").alias("k_in"))
         # ensure the STAY option exists even with no intra-community edge
         stay = state.select(
             "id", F.col("community").alias("c"), F.lit(0).cast("long").alias("k_in")

@@ -284,3 +284,33 @@ def transitivity(edges: DataFrame) -> DataFrame:
     return t.crossJoin(wedges).select(
         F.try_divide(3.0 * F.col("t"), F.col("w")).alias("transitivity")
     )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-binned degree distribution — the first diagnostic anyone
+    runs on a web graph (power-law check, hub census, partitioner
+    sizing). Returns (kind, bucket, n_vertices, min_degree, max_degree)
+    with kind ∈ {'in', 'out'} and bucket = floor(log2(degree)), computed
+    INTEGER-exactly as length(binary(degree)) - 1 (float log2 rounds
+    wrong at exact powers of two in some engines).
+
+    Scale shape: two map-side-combined degree aggregations + one tiny
+    (≤ ~64 rows per kind) re-aggregation; no joins.
+    """
+    out_d = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).select(F.lit("out").alias("kind"), "degree")
+    in_d = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).select(F.lit("in").alias("kind"), "degree")
+    both = out_d.unionByName(in_d)
+    bucket = (F.length(F.bin(F.col("degree"))) - 1).cast("long")
+    return (
+        both.select("kind", bucket.alias("bucket"), "degree")
+        .groupBy("kind", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.min("degree").alias("min_degree"),
+            F.max("degree").alias("max_degree"),
+        )
+    )

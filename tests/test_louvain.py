@@ -83,3 +83,40 @@ def test_louvain_levels_keeps_isolated_supervertices(spark):
     assert len({got[1], got[2], got[3]}) == 1
     assert len({got[7], got[8], got[9]}) == 1
     assert got[1] != got[7]
+
+
+def test_weighted_louvain_weight_dominates(spark):
+    # two triangles bridged by a HEAVY edge vs light internal ties:
+    # with unit weights the triangles are separate communities; crank
+    # the bridge weight high enough and the bridged pair merges
+    tri = _clique([1, 2, 3]) + _clique([10, 11, 12])
+    light = [(s, d, 1) for s, d in tri]
+    heavy_bridge = light + [(3, 10, 50)]
+    edges = spark.createDataFrame(heavy_bridge, ["src", "dst", "w"])
+    got = {
+        r["id"]: r["community"]
+        for r in louvain_move_phase(spark, edges, weight_col="w").collect()
+    }
+    assert got[3] == got[10]  # the heavy edge pulls the pair together
+    unit = spark.createDataFrame(tri + [(3, 10)], ["src", "dst"])
+    got_u = {
+        r["id"]: r["community"] for r in louvain_move_phase(spark, unit).collect()
+    }
+    assert got_u[3] != got_u[10]  # unit-weight bridge does not
+
+
+def test_degree_histogram_oracle(spark):
+    from giraph_spark.graph import degree_histogram
+
+    # out-degrees: 1->{2,3,4} (3), 2->{3} (1); in-degrees: 2:1, 3:2, 4:1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], ["src", "dst"]
+    )
+    got = {
+        (r["kind"], r["bucket"]): (r["n_vertices"], r["min_degree"], r["max_degree"])
+        for r in degree_histogram(edges).collect()
+    }
+    assert got[("out", 1)] == (1, 3, 3)  # deg 3 -> bucket 1
+    assert got[("out", 0)] == (1, 1, 1)
+    assert got[("in", 0)] == (2, 1, 1)
+    assert got[("in", 1)] == (1, 2, 2)
