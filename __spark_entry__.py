@@ -429,6 +429,38 @@ SELECT u, v, common_neighbors, round(aa, 6) AS aa
 FROM sc WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = sc.u AND e.dst = sc.v)"""
 
 
+def _cocitation_sql(pivot: str, item: str, max_pivot_degree: int, min_count: int) -> str:
+    return f"""WITH edges AS MATERIALIZED ({DEMO_EDGES_SQL}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+pd AS (SELECT {pivot} AS p, count(*)::BIGINT AS pdg FROM e GROUP BY {pivot}),
+ec AS MATERIALIZED (
+  SELECT e.{pivot} AS p, e.{item} AS it
+  FROM e JOIN pd ON pd.p = e.{pivot} WHERE pd.pdg <= {max_pivot_degree})
+SELECT a.it AS a, b.it AS b, count(*)::BIGINT AS n_common
+FROM ec a JOIN ec b ON b.p = a.p AND a.it < b.it
+GROUP BY a.it, b.it HAVING count(*) >= {min_count}"""
+
+
+def _window_dedup_sql(n: int, threshold: float) -> str:
+    frac = "coalesce(p.n_shared_windows / p.n_windows::DOUBLE, 0.0)"
+    return f"""WITH wt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS r FROM documents),
+win AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(r[gs:gs+{n - 1}], ' ') AS w
+  FROM wt, unnest(generate_series(1, len(r) - {n - 1})) AS t(gs)),
+freq AS (SELECT w, count(*)::BIGINT AS df FROM win GROUP BY w),
+perdoc AS (
+  SELECT win.doc_id, count(*)::BIGINT AS n_windows,
+         sum(CASE WHEN freq.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared_windows
+  FROM win JOIN freq USING (w) GROUP BY win.doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_windows, 0)::BIGINT AS n_windows,
+       coalesce(p.n_shared_windows, 0)::BIGINT AS n_shared_windows,
+       round({frac}, 6) AS shared_frac,
+       (round({frac}, 6) >= {threshold}) AS dup_candidate
+FROM documents d LEFT JOIN perdoc p USING (doc_id)"""
+
+
 _ASSORTATIVITY_SQL = f"""WITH {_GRAPH},
 {_SYM},
 deg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM sym GROUP BY src),
@@ -1672,6 +1704,32 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation pairs: targets linked by >=2 common sources (pivot
+    out-degree capped at 64 — the disclosed hub bound)."""
+    from giraph_spark.algorithms.linkpred import cocitation
+
+    return cocitation(demo_edges(spark, sf_dir), min_count=2, max_out_degree=64)
+
+
+def q_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling: sources sharing >=2 common link targets
+    (pivot in-degree capped at 64)."""
+    from giraph_spark.algorithms.linkpred import bibliographic_coupling
+
+    return bibliographic_coupling(
+        demo_edges(spark, sf_dir), min_count=2, max_in_degree=64
+    )
+
+
+def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup stats: fraction of each
+    doc's 8-token windows appearing verbatim in another doc."""
+    from giraph_spark.dedup import window_dup_stats
+
+    return window_dup_stats(_docs(spark, sf_dir), n=8, threshold=0.5)
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.graph import degree_assortativity
 
@@ -2707,6 +2765,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "betweenness": q_betweenness,
         "adamic_adar": q_adamic_adar,
+        "cocitation": q_cocitation,
+        "bib_coupling": q_bib_coupling,
+        "window_dedup": q_window_dedup,
         "neighbor_jaccard": q_neighbor_jaccard,
         "anf": q_anf,
         "louvain": q_louvain,
@@ -2848,6 +2909,9 @@ SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "bowtie": _bowtie_sql(15),
         "betweenness": _betweenness_sql(8, 8),
         "adamic_adar": _adamic_adar_sql(25),
+        "cocitation": _cocitation_sql("src", "dst", 64, 2),
+        "bib_coupling": _cocitation_sql("dst", "src", 64, 2),
+        "window_dedup": _window_dedup_sql(8, 0.5),
         "neighbor_jaccard": _neighbor_jaccard_sql(25),
         "anf": _anf_sql(8),
         "louvain": _louvain_sql(4),

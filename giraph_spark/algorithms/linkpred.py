@@ -164,3 +164,68 @@ def neighborhood_jaccard(
             "left_anti",
         )
     return scored
+
+
+def _directed_pairs(
+    edges: DataFrame,
+    pivot: str,
+    item: str,
+    max_pivot_degree: int | None,
+    min_count: int,
+) -> DataFrame:
+    """Shared body of co-citation / bibliographic coupling: distinct
+    directed edges, pivot-degree cap, wedge self-join on the pivot, and
+    the (a < b) canonical pair aggregation."""
+    e = edges.select("src", "dst").dropDuplicates(["src", "dst"])
+    if max_pivot_degree is not None:
+        pd = e.groupBy(pivot).agg(F.count(F.lit(1)).alias("_pd"))
+        e = (
+            e.join(pd.where(F.col("_pd") <= max_pivot_degree), pivot)
+            .drop("_pd")
+        )
+    left = e.select(F.col(pivot).alias("p"), F.col(item).alias("a"))
+    right = e.select(F.col(pivot).alias("p"), F.col(item).alias("b"))
+    pairs = left.join(right, "p").where(F.col("a") < F.col("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_count)
+    )
+
+
+def cocitation(
+    edges: DataFrame,
+    min_count: int = 2,
+    max_out_degree: int | None = 256,
+) -> DataFrame:
+    """Co-citation similarity: (a, b, n_common) where ``n_common`` =
+    number of pages that link to BOTH a and b (a < b).
+
+    The classic citation-graph sibling of bibliographic coupling
+    (Small 1973); on a web graph, pages co-cited by many sources are
+    topically related — a standard related-page / recommendation
+    feature the reference's Pregel model would compute with a
+    neighbor-list broadcast.
+
+    Scale shape: fan-out is out_deg(src)² per linking page, so the
+    pivot is capped at ``max_out_degree`` (a directory page linking to
+    50k URLs asserts almost nothing about any pair; the cap is the
+    same posting-list bound as ``dedup.jaccard_pairs`` ``max_df``).
+    With the cap, the wedge join is bounded by cap² rows per pivot and
+    the pair count is map-side combined. Pass ``None`` to disable
+    (exact, but quadratic in hub out-degree).
+    """
+    return _directed_pairs(edges, "src", "dst", max_out_degree, min_count)
+
+
+def bibliographic_coupling(
+    edges: DataFrame,
+    min_count: int = 2,
+    max_in_degree: int | None = 256,
+) -> DataFrame:
+    """Bibliographic coupling: (a, b, n_common) where ``n_common`` =
+    number of pages that BOTH a and b link to (a < b) — the out-link
+    mirror of :func:`cocitation` (Kessler 1963). The pivot here is the
+    shared *target*, so the cap bounds in-degree (a page cited by 50k
+    sources couples every pair of them)."""
+    return _directed_pairs(edges, "dst", "src", max_in_degree, min_count)

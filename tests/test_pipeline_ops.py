@@ -379,3 +379,47 @@ def test_repetition_stats_single_token_doc(spark):
     assert row["top_2gram_frac"] == 0.0
     assert row["dup_3gram_frac"] == 0.0
     assert row["repetitive"] is False
+
+
+def test_cocitation_and_bib_coupling(spark):
+    from giraph_spark.algorithms.linkpred import bibliographic_coupling, cocitation
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 2), (4, 3), (5, 2), (5, 3), (5, 6), (1, 2)],
+        "src long, dst long",
+    )
+    cc = {(r.a, r.b): r.n_common for r in cocitation(e, min_count=2).collect()}
+    # 2 and 3 are co-cited by sources 1, 4, 5; no other pair reaches 2
+    assert cc == {(2, 3): 3}
+    bc = {
+        (r.a, r.b): r.n_common
+        for r in bibliographic_coupling(e, min_count=2).collect()
+    }
+    # every source pair among {1,4,5} shares targets {2,3}
+    assert bc == {(1, 4): 2, (1, 5): 2, (4, 5): 2}
+    # pivot cap drops the hub: out-degree cap 2 removes source 5
+    cc_capped = {
+        (r.a, r.b): r.n_common
+        for r in cocitation(e, min_count=2, max_out_degree=2).collect()
+    }
+    assert cc_capped == {(2, 3): 2}
+
+
+def test_window_dup_stats(spark):
+    from giraph_spark.dedup import window_dup_stats
+
+    text = "a b c d e f g h i j"  # 10 tokens -> 3 windows of 8
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "x y"), (4, "q r s t u v w x y z")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in window_dup_stats(docs, n=8, threshold=0.5).collect()}
+    assert rows[1].n_windows == 3 and rows[1].n_shared_windows == 3
+    assert rows[1].shared_frac == 1.0 and rows[1].dup_candidate
+    assert rows[2].shared_frac == 1.0 and rows[2].dup_candidate
+    # too short for any window: zero stats, not a candidate
+    assert rows[3].n_windows == 0 and rows[3].shared_frac == 0.0
+    assert not rows[3].dup_candidate
+    # unique content: windows exist but none shared
+    assert rows[4].n_windows == 3 and rows[4].n_shared_windows == 0
+    assert not rows[4].dup_candidate
