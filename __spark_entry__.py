@@ -1730,6 +1730,31 @@ def q_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_dup_stats(_docs(spark, sf_dir), n=8, threshold=0.5)
 
 
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding table."""
+    from giraph_spark.embeddings import quantize_int8
+
+    # q is serialized to a comma-joined string so the driver's
+    # column-sorted value hash sees a scalar cell, not an array object
+    return quantize_int8(_emb(spark, sf_dir)).select(
+        "vec_id", "scale", F.array_join("q", ",").alias("q")
+    )
+
+
+def q_degree_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree distribution quantiles (linear interpolation — the
+    same convention as DuckDB quantile_cont) + max."""
+    e = demo_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.agg(
+        F.round(F.expr("percentile(deg, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(deg, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(deg, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(deg, 0.99)"), 6).alias("p99"),
+        F.max("deg").cast("long").alias("max_deg"),
+    )
+
+
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.graph import degree_assortativity
 
@@ -2768,6 +2793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "bib_coupling": q_bib_coupling,
         "window_dedup": q_window_dedup,
+        "quantize_int8": q_quantize_int8,
+        "degree_percentiles": q_degree_percentiles,
         "neighbor_jaccard": q_neighbor_jaccard,
         "anf": q_anf,
         "louvain": q_louvain,
@@ -2912,6 +2939,24 @@ SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "cocitation": _cocitation_sql("src", "dst", 64, 2),
         "bib_coupling": _cocitation_sql("dst", "src", 64, 2),
         "window_dedup": _window_dedup_sql(8, 0.5),
+        "quantize_int8": """WITH s AS (
+  SELECT vec_id, embedding,
+         round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0, 9) AS scale
+  FROM embeddings)
+SELECT vec_id, scale,
+       array_to_string(
+         CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding, x -> round(x::DOUBLE / scale)::INT)
+         END, ',') AS q
+FROM s""",
+        "degree_percentiles": f"""WITH edges AS MATERIALIZED ({DEMO_EDGES_SQL}),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src)
+SELECT round(quantile_cont(deg, 0.25), 6) AS p25,
+       round(quantile_cont(deg, 0.5), 6) AS p50,
+       round(quantile_cont(deg, 0.9), 6) AS p90,
+       round(quantile_cont(deg, 0.99), 6) AS p99,
+       max(deg)::BIGINT AS max_deg
+FROM deg""",
         "neighbor_jaccard": _neighbor_jaccard_sql(25),
         "anf": _anf_sql(8),
         "louvain": _louvain_sql(4),

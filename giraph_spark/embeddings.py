@@ -365,3 +365,30 @@ def lsh_cosine_pairs(
         .where(F.col("cosine") >= F.lit(float(threshold)))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: (id, scale, q).
+
+    ``scale`` = max|x| / 127 (rounded to 9 dp so every engine agrees on
+    the divisor bit-for-bit), ``q[i]`` = round(x[i] / scale) ∈
+    [-127, 127]. The standard 4× embedding-store compression before an
+    ANN index is built at corpus scale; dequantize as ``q[i] * scale``.
+
+    All-zero vectors get scale 0.0 and an all-zero ``q`` instead of a
+    divide-by-zero (ANSI mode would fail the stage otherwise).
+
+    Scale shape: one narrow projection — higher-order functions only,
+    no shuffle, no Python; at 100 TB this is a pure map stage that
+    rides whatever partitioning the embedding table already has.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    scale = F.round(F.array_max(F.transform(x, F.abs)) / F.lit(127.0), 9)
+    q = F.when(scale == 0.0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(x, lambda v: F.round(v / scale).cast("int"))
+    )
+    return emb.select(
+        F.col(id_col), scale.alias("scale"), q.alias("q")
+    )

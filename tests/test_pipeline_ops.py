@@ -423,3 +423,23 @@ def test_window_dup_stats(spark):
     # unique content: windows exist but none shared
     assert rows[4].n_windows == 3 and rows[4].n_shared_windows == 0
     assert not rows[4].dup_candidate
+
+
+def test_quantize_int8(spark):
+    from giraph_spark.embeddings import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [127.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    # max|x| maps to ±127 exactly; interior values round against the
+    # 9-dp-rounded scale (-0.5 / round(1/127, 9) = -63.49999 -> -63)
+    assert list(rows[1].q) == [127, -63, 32]
+    assert rows[1].scale == round(1.0 / 127.0, 9)
+    # all-zero vector: scale 0, zero codes, no div-by-zero under ANSI
+    assert rows[2].scale == 0.0 and rows[2].q == [0, 0, 0]
+    assert rows[3].scale == 1.0 and rows[3].q == [127]
+    # dequantization error is bounded by scale/2 per component
+    for r in rows.values():
+        assert all(abs(c) <= 127 for c in r.q)
