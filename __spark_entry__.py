@@ -2181,6 +2181,12 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("in_set").cast("long").alias("in_set"))
 
 
+def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from giraph_spark.algorithms.matching import maximal_matching
+
+    return maximal_matching(spark, demo_edges(spark, sf_dir))
+
+
 def q_deadlock(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.algorithms.deadlock import bracha_toueg_free
     from giraph_spark.datasets import DL_ROOT, deadlock_demo_requests
@@ -2191,6 +2197,16 @@ def q_deadlock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices.select(
         "id", F.col("is_free").cast("long").alias("is_free")
     )
+
+
+def _matching_oracle_sql(rounds: int = 24) -> str:
+    """Maximal-matching oracle on the demo graph: full round-by-round
+    replay of matching.py's deterministic greedy Luby rounds (extra
+    rounds past the engine's fixpoint are no-ops). Valid because
+    V_DEMO = 4096 keeps ids within the 12-bit packing domain."""
+    from giraph_spark.algorithms.matching import matching_sql
+
+    return matching_sql(_GRAPH, rounds)
 
 
 def _deadlock_sql(unroll: int) -> str:
@@ -2848,6 +2864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": q_component_sizes,
         "largest_component": q_largest_component,
         "mis": q_mis,
+        "matching": q_matching,
         "deadlock": q_deadlock,
         "media_features": q_media_features,
         "corpus_extract_check": q_corpus_extract_check,
@@ -3046,6 +3063,7 @@ FROM documents""",
         "scc": _SCC_SQL,
         "ppr": _ppr_sql(15),
         "mis": _mis_sql(24),
+        "matching": _matching_oracle_sql(),
         "deadlock": _deadlock_sql(12),
         "corpus_extract_check": _corpus_extract_sql(_CORPUS_PATH),
         "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PATH, 10),

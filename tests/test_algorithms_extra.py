@@ -76,6 +76,45 @@ def test_mis_is_maximal_independent(spark):
     assert {r.id for r in rows2 if r.in_set} == chosen
 
 
+# --- maximal matching ------------------------------------------------------
+
+
+def test_maximal_matching_invariants(spark):
+    from giraph_spark.algorithms.matching import maximal_matching
+
+    rng = random.Random(11)
+    edges = list({(rng.randrange(48), rng.randrange(48)) for _ in range(140)})
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = {(r.a, r.b) for r in maximal_matching(spark, _edges_df(spark, edges)).collect()}
+    canon = {(min(a, b), max(a, b)) for a, b in edges}
+    assert pairs <= canon
+    # no vertex matched twice
+    seen = [v for p in pairs for v in p]
+    assert len(seen) == len(set(seen))
+    # maximality: every unmatched edge touches a matched vertex
+    matched_v = set(seen)
+    for a, b in canon - pairs:
+        assert a in matched_v or b in matched_v, (a, b)
+    # determinism across runs
+    pairs2 = {(r.a, r.b) for r in maximal_matching(spark, _edges_df(spark, edges)).collect()}
+    assert pairs2 == pairs
+
+
+def test_maximal_matching_matches_sql_replay(spark):
+    import duckdb
+
+    from giraph_spark.algorithms.matching import maximal_matching, matching_sql
+
+    rng = random.Random(23)
+    edges = list({(rng.randrange(64), rng.randrange(64)) for _ in range(200)})
+    edges = [(a, b) for a, b in edges if a != b]
+    got = {(r.a, r.b) for r in maximal_matching(spark, _edges_df(spark, edges)).collect()}
+    vals = ", ".join(f"({a}, {b})" for a, b in edges)
+    cte = f"edges AS MATERIALIZED (SELECT * FROM (VALUES {vals}) AS t(src, dst))"
+    want = set(duckdb.sql(matching_sql(cte, 24)).fetchall())
+    assert got == want
+
+
 # --- personalized PageRank -------------------------------------------------
 
 PPR_TOY = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]
