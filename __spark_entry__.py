@@ -1345,6 +1345,39 @@ FROM verts v LEFT JOIN (
     )
 
 
+def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, 8 fixed iterations (alpha=0.05, beta=1)."""
+    from giraph_spark.algorithms.hits import katz_centrality
+
+    run = katz_centrality(
+        spark, demo_edges(spark, sf_dir), alpha=0.05, beta=1.0,
+        max_supersteps=8, num_partitions=NP,
+    )
+    return run.vertices.select("id", F.round("katz", 7).alias("katz"))
+
+
+def _katz_sql(iters: int, alpha: float = 0.05, beta: float = 1.0) -> str:
+    """Unrolled Katz iteration x' = beta + alpha * in-gather(x)."""
+    parts = [
+        _GRAPH,
+        f"k0 AS MATERIALIZED (SELECT id, {beta!r}::DOUBLE AS x FROM verts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""k{k + 1} AS MATERIALIZED (
+  SELECT v.id, {beta!r} + {alpha!r} * coalesce(m.s, 0.0) AS x
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(x.x) AS s
+    FROM edges e JOIN k{k} x ON x.id = e.src GROUP BY e.dst
+  ) m ON m.id = v.id)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(x, 7) AS katz FROM k{iters}"
+    )
+
+
 def q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality, 5 power iterations (L2-normalized)."""
     from giraph_spark.algorithms.hits import eigenvector_centrality
@@ -2802,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity": q_transitivity,
         "hits": q_hits,
         "eigenvector": q_eigenvector,
+        "katz": q_katz,
         "salsa": q_salsa,
         "bowtie": q_bowtie,
         "betweenness": q_betweenness,
@@ -2949,6 +2983,7 @@ w AS (SELECT sum(deg * (deg - 1.0)) / 2.0 AS w
 SELECT round(3.0 * (SELECT t FROM t) / (SELECT w FROM w), 6) AS transitivity""",
         "hits": _hits_sql(5),
         "eigenvector": _eigenvector_sql(5),
+        "katz": _katz_sql(8),
         "salsa": _salsa_sql(5),
         "bowtie": _bowtie_sql(15),
         "betweenness": _betweenness_sql(8, 8),

@@ -396,3 +396,100 @@ def salsa(
         converged=run.converged,
         history=run.history,
     )
+
+
+def katz_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    max_supersteps: int = 10,
+    tolerance: float | None = None,
+    salt: int | None = None,
+    num_partitions: int | None = None,
+    verbose: bool = False,
+) -> PregelRun:
+    """Katz centrality: x'(v) = beta + alpha * SUM_{u->v} x(u) over
+    in-edges, iterated from x0 = beta (Katz 1953) — counts all in-walks
+    attenuated by alpha^length; the third classic spectral link score
+    next to PageRank/eigenvector (beyond-reference, SURVEY §2.8).
+    Converges for alpha < 1/lambda_max; no normalization, so a fixed
+    iteration count replays exactly in SQL. Result ``vertices``:
+    (id, katz).
+
+    Scale shape identical to ``eigenvector_centrality``: the edge table
+    is exchanged once per run, each superstep is one algebraic
+    (map-side-combined, saltable) gather + a broadcast-sized state join,
+    and the optional tolerance halt reuses the SAME driver action that
+    materializes the state (L1 movement), so no extra job.
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    e = dedup_edges(edges.select("src", "dst"))
+    e_fwd = e.repartition(num_partitions, "src").persist()
+
+    verts = vertices_from_edges(e)
+    state = verts.select("id", F.lit(float(beta)).alias("katz")).repartition(
+        num_partitions, "id"
+    )
+    box: dict[str, DataFrame | None] = {"prev": None}
+
+    def _release_prev() -> None:
+        prev = box["prev"]
+        if prev is not None:
+            prev.unpersist()
+            box["prev"] = None
+
+    def step(vertices: DataFrame, superstep: int):
+        _release_prev()
+        msgs = e_fwd.join(
+            vertices.select(F.col("id").alias("src"), "katz").hint("shuffle_hash"),
+            "src",
+        ).select("dst", F.col("katz").alias("msg"))
+        new = (
+            vertices.join(
+                gather_messages(msgs, [("msg", "sum")], key="dst", salt=salt)
+                .withColumnRenamed("dst", "id")
+                .hint("shuffle_hash"),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                "katz",
+                (
+                    F.lit(float(beta))
+                    + F.lit(float(alpha)) * F.coalesce("msg", F.lit(0.0))
+                ).alias("new_katz"),
+            )
+            .persist()
+        )
+        box["prev"] = new
+        delta = float(
+            new.agg(
+                F.sum(F.abs(F.col("new_katz") - F.col("katz"))).alias("d")
+            ).collect()[0]["d"]
+            or 0.0
+        )
+        return (
+            new.select("id", F.col("new_katz").alias("katz")),
+            {"delta": delta},
+        )
+
+    halt = None
+    if tolerance is not None:
+        halt = lambda stats, i: stats["delta"] < tolerance  # noqa: E731
+
+    run = run_supersteps(
+        spark, state, step,
+        max_supersteps=max_supersteps, halt=halt, verbose=verbose,
+    )
+    _release_prev()
+    e_fwd.unpersist()
+    return PregelRun(
+        vertices=run.vertices.select("id", "katz"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )

@@ -341,6 +341,39 @@ def test_hits_matches_numpy_power_iteration(spark):
     assert run.supersteps == 6
 
 
+def test_katz_matches_numpy_iteration(spark):
+    import numpy as np
+
+    from giraph_spark.algorithms.hits import katz_centrality
+
+    n = 50
+    rows = sorted({((i * 7 + 3) % n, (i * 23 + 11) % n) for i in range(180)})
+    rows = [(a, b) for a, b in rows if a != b]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    run = katz_centrality(spark, e, alpha=0.05, beta=1.0, max_supersteps=7)
+    got = {r.id: r.katz for r in run.vertices.collect()}
+
+    ids = sorted({v for r in rows for v in r})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for u, v in rows:
+        A[idx[u], idx[v]] = 1.0
+    x = np.full(len(ids), 1.0)
+    for _ in range(7):
+        x = 1.0 + 0.05 * (A.T @ x)
+    for v in ids:
+        assert abs(got[v] - x[idx[v]]) < 1e-9, v
+    assert run.supersteps == 7
+
+    # tolerance halt + salted run identical
+    t = katz_centrality(spark, e, max_supersteps=60, tolerance=1e-12)
+    assert t.converged and t.supersteps < 60
+    s = katz_centrality(spark, e, alpha=0.05, max_supersteps=7, salt=4)
+    sv = {r.id: r.katz for r in s.vertices.collect()}
+    for v in ids:
+        assert abs(sv[v] - got[v]) < 1e-12
+
+
 def test_hits_tolerance_halts_and_salt_identical(spark):
     from giraph_spark.algorithms.hits import hits
 
