@@ -2465,6 +2465,130 @@ ORDER BY round(rank, 6) DESC, host ASC LIMIT 10"""
     )
 
 
+def q_corpus_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + spam mass on the host graph: trusted seeds = top-4
+    hosts by inbound link count (ties by name), trust = seeded weighted
+    PPR (10 iters), spam_mass = (pr_norm - trust) / pr_norm against the
+    normalized weighted PageRank — the Gyongyi et al. 2004 anti-spam
+    pipeline end-to-end."""
+    from giraph_spark.algorithms.ppr import trustrank
+    from giraph_spark.corpus import host_graph
+
+    pages, _ = _corpus_pages(spark)
+    hg = host_graph(pages).where(F.col("src_host") != F.col("dst_host"))
+    edges = hg.select(
+        F.xxhash64("src_host").alias("src"),
+        F.xxhash64("dst_host").alias("dst"),
+        F.col("n_links").cast("double").alias("weight"),
+    )
+    seeds = [
+        r[0]
+        for r in hg.groupBy("dst_host")
+        .agg(F.sum("n_links").alias("inl"))
+        .orderBy(F.col("inl").desc(), "dst_host")
+        .limit(4)
+        .select(F.xxhash64("dst_host"))
+        .collect()
+    ]
+    tr = trustrank(
+        spark, edges, seeds, teleport=0.15, max_supersteps=10,
+        weighted=True, num_partitions=NP,
+    )
+    pr = pagerank(spark, edges, max_supersteps=10, tolerance=None,
+                  weighted=True, num_partitions=NP)
+    pr_total = float(pr.vertices.agg(F.sum("rank")).collect()[0][0])
+    hosts = hg.select(
+        F.xxhash64("src_host").alias("id"), F.col("src_host").alias("host")
+    ).union(
+        hg.select(F.xxhash64("dst_host"), "dst_host")
+    ).dropDuplicates(["id"])
+    pr_n = F.col("rank") / F.lit(pr_total)
+    return (
+        tr.vertices.join(pr.vertices, "id")
+        .join(hosts, "id")
+        .select(
+            "host",
+            F.round("trust", 6).alias("trust"),
+            F.round((pr_n - F.col("trust")) / pr_n, 6).alias("spam_mass"),
+        )
+    )
+
+
+def _corpus_trustrank_sql(path: str, iters: int, damping: float = 0.85) -> str:
+    d = damping
+    host = "regexp_extract({x}, '^https?://([^/]+)', 1)"
+    parts = _corpus_prologue(path) + [
+        f"""hedges AS MATERIALIZED (
+  SELECT sh, dh, count(*)::DOUBLE AS n FROM (
+    SELECT {host.format(x='url')} AS sh, {host.format(x='href')} AS dh FROM res)
+  WHERE sh <> dh GROUP BY sh, dh)""",
+        """wn AS MATERIALIZED (
+  SELECT sh, dh, n / sum(n) OVER (PARTITION BY sh) AS weight FROM hedges)""",
+        "hverts AS MATERIALIZED (SELECT sh AS id FROM hedges UNION SELECT dh FROM hedges)",
+        "hn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM hverts)",
+        "hasout AS MATERIALIZED (SELECT DISTINCT sh FROM hedges)",
+        """seeds AS MATERIALIZED (
+  SELECT dh AS id FROM hedges GROUP BY dh ORDER BY sum(n) DESC, dh ASC LIMIT 4)""",
+        "ns AS MATERIALIZED (SELECT count(*)::DOUBLE AS k FROM seeds)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS rank FROM hverts)",
+        """t0 AS MATERIALIZED (
+  SELECT v.id, CASE WHEN s.id IS NOT NULL THEN 1.0 / (SELECT k FROM ns)
+               ELSE 0.0 END AS tr
+  FROM hverts v LEFT JOIN seeds s ON s.id = v.id)""",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""hs{k} AS MATERIALIZED (
+  SELECT sum(r.rank) AS all_sum,
+         coalesce(sum(CASE WHEN o.sh IS NULL THEN r.rank END), 0.0) AS sink_sum
+  FROM h{k} r LEFT JOIN hasout o ON o.sh = r.id)"""
+        )
+        parts.append(
+            f"""hm{k} AS MATERIALIZED (
+  SELECT e.dh AS id, sum(r.rank * e.weight) AS msg
+  FROM wn e JOIN h{k} r ON r.id = e.sh GROUP BY e.dh)"""
+        )
+        parts.append(
+            f"""h{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         {d} * (coalesce(m.msg, 0.0) + (SELECT sink_sum FROM hs{k}) / (SELECT n FROM hn))
+       + {1.0 - d} * (SELECT all_sum FROM hs{k}) / (SELECT n FROM hn) AS rank
+  FROM h{k} v LEFT JOIN hm{k} m ON m.id = v.id)"""
+        )
+        parts.append(
+            f"""ts{k} AS MATERIALIZED (
+  SELECT coalesce(sum(CASE WHEN o.sh IS NULL THEN r.tr END), 0.0) AS sink_sum
+  FROM t{k} r LEFT JOIN hasout o ON o.sh = r.id)"""
+        )
+        parts.append(
+            f"""tm{k} AS MATERIALIZED (
+  SELECT e.dh AS id, sum(r.tr * e.weight) AS msg
+  FROM wn e JOIN t{k} r ON r.id = e.sh GROUP BY e.dh)"""
+        )
+        parts.append(
+            f"""t{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         {d} * coalesce(m.msg, 0.0)
+       + CASE WHEN s.id IS NOT NULL
+              THEN ({1.0 - d} + {d} * (SELECT sink_sum FROM ts{k})) / (SELECT k FROM ns)
+              ELSE 0.0 END AS tr
+  FROM t{k} v LEFT JOIN tm{k} m ON m.id = v.id
+  LEFT JOIN seeds s ON s.id = v.id)"""
+        )
+    parts.append(
+        f"prsum AS MATERIALIZED (SELECT sum(rank) AS s FROM h{iters})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT v.id AS host, round(t.tr, 6) AS trust,
+       round((p.rank / (SELECT s FROM prsum) - t.tr)
+             / (p.rank / (SELECT s FROM prsum)), 6) AS spam_mass
+FROM hverts v JOIN t{iters} t ON t.id = v.id JOIN h{iters} p ON p.id = v.id"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition / PII / contamination / neighborhood-jaccard (round-2 additions)
 # ---------------------------------------------------------------------------
@@ -2906,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_wcc": q_corpus_wcc,
         "corpus_host_graph": q_corpus_host_graph,
         "corpus_host_rank": q_corpus_host_rank,
+        "corpus_trustrank": q_corpus_trustrank,
     }
 
 
@@ -3105,6 +3230,7 @@ FROM documents""",
         "corpus_wcc": _corpus_wcc_sql(_CORPUS_PATH),
         "corpus_host_graph": _corpus_host_graph_sql(_CORPUS_PATH),
         "corpus_host_rank": _corpus_host_rank_sql(_CORPUS_PATH, 10),
+        "corpus_trustrank": _corpus_trustrank_sql(_CORPUS_PATH, 10),
         "component_sizes": (
             "WITH "
             + ",\n".join(

@@ -32,9 +32,15 @@ def personalized_pagerank(
     salt: int | None = None,
     num_partitions: int | None = None,
     verbose: bool = False,
+    weighted: bool = False,
 ) -> PregelRun:
     """Result ``vertices``: (id, rank) — a probability vector (sums to 1)
-    biased toward the source set."""
+    biased toward the source set.
+
+    With ``weighted=True`` the edge table must carry a ``weight`` column;
+    transition probabilities are the per-``src`` normalized weights
+    (``w / sum(w) over src``) instead of the uniform ``1/out_degree``.
+    """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     srcs = [sources] if isinstance(sources, int) else list(sources)
@@ -42,15 +48,28 @@ def personalized_pagerank(
         raise ValueError("personalized_pagerank needs at least one source")
     t = float(teleport)
 
-    deg = out_degrees(edges)
-    e = (
-        edges.select("src", "dst")
-        .join(deg, "src")
-        .withColumn("weight", F.lit(1.0) / F.col("out_degree").cast("double"))
-        .drop("out_degree")
-        .repartition(num_partitions, "src")
-        .persist()
-    )
+    if weighted:
+        wsum = edges.groupBy("src").agg(F.sum("weight").alias("_wsum"))
+        e = (
+            edges.select("src", "dst", "weight")
+            .join(wsum, "src")
+            .withColumn(
+                "weight", F.col("weight").cast("double") / F.col("_wsum")
+            )
+            .drop("_wsum")
+            .repartition(num_partitions, "src")
+            .persist()
+        )
+    else:
+        deg = out_degrees(edges)
+        e = (
+            edges.select("src", "dst")
+            .join(deg, "src")
+            .withColumn("weight", F.lit(1.0) / F.col("out_degree").cast("double"))
+            .drop("out_degree")
+            .repartition(num_partitions, "src")
+            .persist()
+        )
     verts = vertices_from_edges(edges)
     sinks = verts.join(
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
@@ -121,6 +140,41 @@ def personalized_pagerank(
     e.unpersist()
     return PregelRun(
         vertices=run.vertices.select("id", "rank"),
+        supersteps=run.supersteps,
+        converged=run.converged,
+        history=run.history,
+    )
+
+
+def trustrank(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    teleport: float = 0.15,
+    max_supersteps: int = 10,
+    tolerance: float | None = None,
+    salt: int | None = None,
+    num_partitions: int | None = None,
+    weighted: bool = False,
+    verbose: bool = False,
+) -> PregelRun:
+    """TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    with the teleport vector concentrated on a hand-picked trusted seed
+    set, so trust attenuates with link distance from the seeds — the
+    classic web-spam demotion score. Mathematically identical to
+    multi-source personalized PageRank with dangling mass restarting at
+    the seeds, which is exactly :func:`personalized_pagerank`; this
+    wrapper fixes the paper's semantics (biased teleport + seed-restart
+    sinks) and returns (id, trust). Spam mass is then
+    ``(pr_norm - trust) / pr_norm`` against a normalized PageRank run
+    (see entry query ``corpus_trustrank``)."""
+    run = personalized_pagerank(
+        spark, edges, sources=list(seeds), teleport=teleport,
+        max_supersteps=max_supersteps, tolerance=tolerance, salt=salt,
+        num_partitions=num_partitions, weighted=weighted, verbose=verbose,
+    )
+    return PregelRun(
+        vertices=run.vertices.select("id", F.col("rank").alias("trust")),
         supersteps=run.supersteps,
         converged=run.converged,
         history=run.history,

@@ -341,6 +341,39 @@ def test_hits_matches_numpy_power_iteration(spark):
     assert run.supersteps == 6
 
 
+def test_trustrank_matches_numpy_iteration(spark):
+    import numpy as np
+
+    from giraph_spark.algorithms.ppr import trustrank
+
+    # weighted digraph with a sink (vertex 5 has no out-edges)
+    rows = [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 3.0), (2, 3, 1.0),
+            (3, 0, 1.0), (3, 4, 4.0), (4, 5, 1.0), (2, 5, 2.0)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight double")
+    seeds = [0, 3]
+    run = trustrank(spark, e, seeds, teleport=0.15, max_supersteps=6,
+                    weighted=True)
+    got = {r.id: r.trust for r in run.vertices.collect()}
+
+    n = 6
+    W = np.zeros((n, n))
+    for u, v, w in rows:
+        W[u, v] = w
+    out = W.sum(axis=1)
+    has_out = out > 0
+    Wn = np.divide(W, out[:, None], out=np.zeros_like(W), where=out[:, None] > 0)
+    d = np.zeros(n)
+    for s in seeds:
+        d[s] = 1.0 / len(seeds)
+    t = d.copy()
+    for _ in range(6):
+        sink = t[~has_out].sum()
+        t = 0.85 * (Wn.T @ t + sink * d) + 0.15 * d
+    for v in range(n):
+        assert abs(got[v] - t[v]) < 1e-12, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_katz_matches_numpy_iteration(spark):
     import numpy as np
 
