@@ -1140,6 +1140,14 @@ def q_triangle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle count via the diagonal-codegree formula (exact,
+    integer arithmetic; see triangles.rectangle_count)."""
+    from giraph_spark.algorithms.triangles import rectangle_count
+
+    return rectangle_count(demo_edges(spark, sf_dir))
+
+
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex local clustering coefficient — 2T(v)/(deg(v)(deg(v)-1))
     over the symmetric graph; composes the oriented triangle count with
@@ -2949,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxlabel": q_maxlabel,
         "triangles": q_triangles,
         "triangle_global": q_triangle_global,
+        "rectangles": q_rectangles,
         "clustering_coeff": q_clustering_coeff,
         "k_core": q_k_core,
         "k_truss": q_k_truss,
@@ -3060,6 +3069,14 @@ corners AS (
 SELECT v.id, coalesce(t.cnt, 0)::BIGINT AS triangles
 FROM verts v LEFT JOIN (SELECT id, count(*) AS cnt FROM corners GROUP BY id) t
   ON t.id = v.id""",
+        "rectangles": f"""WITH {_GRAPH},
+{_SYM},
+wedges AS (
+  SELECT l.dst AS u, r.dst AS w FROM sym l
+  JOIN sym r ON r.src = l.src AND l.dst < r.dst),
+codeg AS (SELECT u, w, count(*)::BIGINT AS c FROM wedges GROUP BY u, w)
+SELECT (coalesce(sum((c * (c - 1)) // 2), 0) // 2)::BIGINT AS n_rectangles
+FROM codeg""",
         "triangle_global": f"""WITH {_GRAPH},
 {_SYM},
 o AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst)

@@ -121,3 +121,43 @@ def triangle_count(edges: DataFrame, symmetrize_input: bool = True) -> int:
     n = _triangle_list_from(o).count()
     release_o()
     return n
+
+
+def rectangle_count(
+    edges: DataFrame,
+    symmetrize_input: bool = True,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Global 4-cycle (rectangle) count — one row ``(n_rectangles)``.
+
+    Wedge-pivot formula: every 4-cycle has exactly two diagonals, and a
+    diagonal pair (u, w) with ``c`` common neighbors closes C(c, 2)
+    rectangles through them, so ``#C4 = (1/2) * SUM_{u<w} C(codeg(u,w), 2)``
+    — pure integer arithmetic, exact, and expressible as two shuffles
+    (wedge join on the pivot + one global sum), no neighbor lists shipped.
+
+    Scale: wedge fan-out is ``SUM_z deg(z)^2`` — a power-law hub
+    dominates it, so at corpus scale set ``max_pivot_degree`` to drop
+    hub pivots (disclosed approximation, same knob and rationale as
+    ``linkpred.py``'s capped wedge joins); ``None`` keeps it exact.
+    """
+    s = clean_symmetric(edges) if symmetrize_input else edges.select("src", "dst")
+    adj = s.select(F.col("src").alias("z"), F.col("dst").alias("nbr"))
+    if max_pivot_degree is not None:
+        deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+        adj = adj.join(
+            deg.where(F.col("deg") <= max_pivot_degree).select("z"), "z"
+        )
+    wedges = adj.alias("l").join(adj.alias("r"), "z").where(
+        F.col("l.nbr") < F.col("r.nbr")
+    ).select(F.col("l.nbr").alias("u"), F.col("r.nbr").alias("w"))
+    codeg = wedges.groupBy("u", "w").agg(F.count(F.lit(1)).alias("c"))
+    # integer-exact throughout: c*(c-1) is even, and the grand total is
+    # even (each rectangle counted once per diagonal)
+    return codeg.agg(
+        (
+            F.coalesce(F.sum(F.expr("(c * (c - 1)) DIV 2")), F.lit(0))
+            .cast("long")
+            .alias("s")
+        )
+    ).select(F.expr("s DIV 2").cast("long").alias("n_rectangles"))

@@ -341,6 +341,40 @@ def test_hits_matches_numpy_power_iteration(spark):
     assert run.supersteps == 6
 
 
+def test_rectangle_count_matches_bruteforce(spark):
+    from giraph_spark.algorithms.triangles import rectangle_count
+
+    rng = random.Random(7)
+    n = 18
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    e = _edges_df(spark, edges)
+    got = rectangle_count(e).collect()[0].n_rectangles
+
+    adj = {(a, b) for a, b in edges} | {(b, a) for a, b in edges}
+    walks = 0  # each 4-cycle appears 8x as an ordered closed walk tuple
+    for a in range(n):
+        for b in range(n):
+            if (a, b) not in adj:
+                continue
+            for c in range(n):
+                if c == a or (b, c) not in adj:
+                    continue
+                for d in range(n):
+                    if d in (a, b) or c == b:
+                        continue
+                    if (c, d) in adj and (d, a) in adj:
+                        walks += 1
+    assert walks % 8 == 0
+    assert got == walks // 8
+    # a cap at max degree must not change the exact count
+    max_deg = max(
+        sum(1 for x in adj if x[0] == v) for v in range(n)
+    )
+    capped = rectangle_count(e, max_pivot_degree=max_deg).collect()[0]
+    assert capped.n_rectangles == got
+
+
 def test_trustrank_matches_numpy_iteration(spark):
     import numpy as np
 
