@@ -2222,6 +2222,29 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("in_set").cast("long").alias("in_set"))
 
 
+def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling: final target +
+    exact hop count for every chain head of the functional demo map."""
+    from giraph_spark.algorithms.paths import pointer_jump
+    from giraph_spark.datasets import redirect_edges
+
+    return pointer_jump(spark, redirect_edges(spark, sf_dir))
+
+
+def _redirects_sql() -> str:
+    from giraph_spark.datasets import REDIRECT_EDGES_SQL
+
+    return f"""WITH RECURSIVE
+redir AS MATERIALIZED ({REDIRECT_EDGES_SQL}),
+r(id, cur, hops) AS (
+  SELECT src, dst, 1::BIGINT FROM redir
+  UNION ALL
+  SELECT r.id, e.dst, r.hops + 1 FROM r JOIN redir e ON e.src = r.cur
+)
+SELECT id, cur AS final, hops FROM r
+WHERE NOT EXISTS (SELECT 1 FROM redir e WHERE e.src = r.cur)"""
+
+
 def q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.algorithms.matching import maximal_matching
 
@@ -3032,6 +3055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "largest_component": q_largest_component,
         "mis": q_mis,
         "matching": q_matching,
+        "redirects": q_redirects,
         "deadlock": q_deadlock,
         "media_features": q_media_features,
         "corpus_extract_check": q_corpus_extract_check,
@@ -3241,6 +3265,7 @@ FROM documents""",
         "ppr": _ppr_sql(15),
         "mis": _mis_sql(24),
         "matching": _matching_oracle_sql(),
+        "redirects": _redirects_sql(),
         "deadlock": _deadlock_sql(12),
         "corpus_extract_check": _corpus_extract_sql(_CORPUS_PATH),
         "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PATH, 10),

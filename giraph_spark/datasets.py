@@ -60,6 +60,36 @@ def scc_demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# redirect-chain demo: a functional graph (one out-edge per src) with
+# strictly decreasing targets, so chains of up to ~R/49 hops terminate at
+# sinks — drives pointer_jump and its recursive-CTE oracle
+R_DEMO = 6000
+
+REDIRECT_EDGES_SQL = f"""
+SELECT DISTINCT src::BIGINT AS src,
+       greatest(src - (1 + src % 97), 0)::BIGINT AS dst FROM (
+  SELECT (o_orderkey % {R_DEMO}) AS src FROM orders
+) WHERE src > 0
+""".strip()
+
+
+def redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional redirect map (matches REDIRECT_EDGES_SQL verbatim)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = (F.col("o_orderkey") % R_DEMO).cast("long")
+    return (
+        o.select(src.alias("src"))
+        .where(F.col("src") > 0)
+        .select(
+            "src",
+            F.greatest(
+                F.col("src") - (F.lit(1) + F.col("src") % 97), F.lit(0)
+            ).cast("long").alias("dst"),
+        )
+        .dropDuplicates(["src"])
+    )
+
+
 # deterministic per-edge weight in [1, 3] — a pure function of (src, dst);
 # the small range bounds the edge count of weighted shortest paths, which
 # keeps the Bellman-Ford oracle's unroll depth small

@@ -341,6 +341,21 @@ def test_hits_matches_numpy_power_iteration(spark):
     assert run.supersteps == 6
 
 
+def test_pointer_jump_resolves_chains_and_detects_cycles(spark):
+    from giraph_spark.algorithms.paths import pointer_jump
+
+    # chain 5->4->3->2->1->0 plus a side branch 9->3
+    links = [(i, i - 1) for i in range(1, 6)] + [(9, 3)]
+    e = spark.createDataFrame(links, "src long, dst long")
+    got = {r.id: (r.final, r.hops) for r in pointer_jump(spark, e).collect()}
+    assert got == {1: (0, 1), 2: (0, 2), 3: (0, 3), 4: (0, 4),
+                   5: (0, 5), 9: (0, 4)}
+
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="cycle"):
+        pointer_jump(spark, cyc, max_rounds=6)
+
+
 def test_rectangle_count_matches_bruteforce(spark):
     from giraph_spark.algorithms.triangles import rectangle_count
 
