@@ -2345,7 +2345,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORPUS_N = 2000
 _CORPUS_SEED = 42
 # must match corpus_parquet()'s layout — oracle_sql() has no SparkSession
-_CORPUS_PATH = f"/tmp/giraph_spark_corpus/n{_CORPUS_N}_seed{_CORPUS_SEED}.parquet"
+_CORPUS_PATH = (
+    f"/tmp/giraph_spark_corpus/n{_CORPUS_N}_seed{_CORPUS_SEED}_v2.parquet"
+)
 
 
 def _corpus_pages(spark: SparkSession) -> tuple[DataFrame, str]:
@@ -2494,6 +2496,51 @@ def _corpus_host_rank_sql(path: str, iters: int, damping: float = 0.85) -> str:
 SELECT id AS host, round(rank, 6) AS rank FROM h{iters}
 ORDER BY round(rank, 6) DESC, host ASC LIMIT 10"""
     )
+
+
+def q_corpus_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation: per normalized link target, total
+    in-links, distinct anchor strings, and the most frequent anchor
+    (lexicographic tie-break) — top 20 targets by in-links."""
+    from giraph_spark.corpus import anchor_summary
+
+    pages, _ = _corpus_pages(spark)
+    return (
+        anchor_summary(pages)
+        .orderBy(F.col("n_links").desc(), "target")
+        .limit(20)
+    )
+
+
+def _corpus_anchor_text_sql(path: str) -> str:
+    pat = r'<a\s+href="([^"]*)">([^<]*)</a>'
+    norm = "regexp_replace(regexp_replace(lower({x}), '#.*$', ''), '/$', '')"
+    return f"""WITH pages AS MATERIALIZED (
+  SELECT url, decode(html) AS h FROM read_parquet('{path}/*.parquet')),
+la AS (
+  SELECT url,
+         unnest(regexp_extract_all(h, '{pat}', 1)) AS href,
+         unnest(regexp_extract_all(h, '{pat}', 2)) AS anchor
+  FROM pages),
+res AS (
+  SELECT CASE WHEN href LIKE '/%'
+              THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href
+              ELSE href END AS href,
+         anchor
+  FROM la),
+per AS (
+  SELECT {norm.format(x='href')} AS target, anchor, count(*)::BIGINT AS n
+  FROM res GROUP BY 1, 2),
+best AS (
+  SELECT target, anchor,
+         row_number() OVER (PARTITION BY target ORDER BY n DESC, anchor ASC) AS rn,
+         sum(n) OVER (PARTITION BY target) AS n_links,
+         count(*) OVER (PARTITION BY target) AS n_anchors
+  FROM per)
+SELECT target, n_links::BIGINT AS n_links, n_anchors::BIGINT AS n_anchors,
+       anchor AS top_anchor
+FROM best WHERE rn = 1
+ORDER BY n_links DESC, target ASC LIMIT 20"""
 
 
 def q_corpus_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3064,6 +3111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_host_graph": q_corpus_host_graph,
         "corpus_host_rank": q_corpus_host_rank,
         "corpus_trustrank": q_corpus_trustrank,
+        "corpus_anchor_text": q_corpus_anchor_text,
     }
 
 
@@ -3273,6 +3321,7 @@ FROM documents""",
         "corpus_host_graph": _corpus_host_graph_sql(_CORPUS_PATH),
         "corpus_host_rank": _corpus_host_rank_sql(_CORPUS_PATH, 10),
         "corpus_trustrank": _corpus_trustrank_sql(_CORPUS_PATH, 10),
+        "corpus_anchor_text": _corpus_anchor_text_sql(_CORPUS_PATH),
         "component_sizes": (
             "WITH "
             + ",\n".join(

@@ -140,7 +140,13 @@ def synth_corpus(
             abs_href = "https://site" + pd.Series(tgt_site.astype(str)) + ".example/p/" + pd.Series(t_str)
             rel_href = "/p/" + pd.Series(t_str)
             href = pd.Series(np.where(tgt_site == src_site, rel_href, abs_href), dtype=object)
-            anchors = '<a href="' + href + '">l</a>'
+            # varied-but-deterministic anchor text per (source, target) —
+            # drives anchor-text aggregation; a pure function of ids so
+            # any engine parsing the SAME html sees the same tokens
+            a1 = (tgt % np.uint64(31)).astype(str)
+            a2 = ((src_rep.astype(np.uint64) * np.uint64(3) + tgt * np.uint64(7)) % np.uint64(17)).astype(str)
+            anchor_txt = "t" + pd.Series(a1) + " a" + pd.Series(a2)
+            anchors = '<a href="' + href + '">' + anchor_txt + "</a>"
             anchors_per_page = anchors.groupby(src_rep).agg("".join)
             anchor_col = pd.Series(i).map(anchors_per_page).fillna("").to_numpy(dtype=object)
             esc1 = para1.str.replace("&", "&amp;", regex=False)
@@ -226,6 +232,77 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(gen, schema="url string, href string")
 
 
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """(url, href, anchor) triples — the paired href + anchor-text parse
+    (resolution identical to :func:`extract_links`). Anchor text is the
+    classic external description of a target page (what search engines
+    index a URL under); aggregation happens in ``anchor_summary``."""
+
+    pat = r'<a\s+href="([^"]*)">([^<]*)</a>'
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = pd.DataFrame(
+            {
+                "url": pd.Series(dtype=object),
+                "href": pd.Series(dtype=object),
+                "anchor": pd.Series(dtype=object),
+            }
+        )
+        for pdf in batches:
+            html = pdf["html"].str.decode("utf-8")
+            pairs = html.str.findall(pat)
+            counts = pairs.map(len).to_numpy(dtype=np.int64)
+            urls = np.repeat(pdf["url"].to_numpy(dtype=object), counts)
+            flat_h = pd.Series([h for lst in pairs for h, _ in lst], dtype=object)
+            flat_a = pd.Series([a for lst in pairs for _, a in lst], dtype=object)
+            if len(flat_h) == 0:
+                yield empty
+                continue
+            origin = pd.Series(urls, dtype=object).str.extract(
+                r"^(https?://[^/]+)", expand=False
+            )
+            is_rel = flat_h.str.startswith("/")
+            resolved = flat_h.where(~is_rel, origin.to_numpy(dtype=object) + flat_h)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype=object),
+                    "href": resolved,
+                    "anchor": flat_a,
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        gen, schema="url string, href string, anchor string"
+    )
+
+
+def anchor_summary(pages: DataFrame) -> DataFrame:
+    """Per-target anchor-text rollup: (target, n_links, n_anchors,
+    top_anchor) where ``target`` is the normalized resolved href,
+    ``n_anchors`` counts distinct anchor strings, and ``top_anchor`` is
+    the most frequent anchor (ties broken lexicographically — fully
+    deterministic).
+
+    Scale shape: one groupBy on (target, anchor) for the counts, then a
+    max(struct) per target — two map-side-combinable shuffles, no
+    per-target lists materialized (the reference has no analog; this is
+    the search-index side of link extraction)."""
+    a = extract_anchors(pages).select(
+        normalize_url(F.col("href")).alias("target"), "anchor"
+    )
+    per = a.groupBy("target", "anchor").agg(F.count(F.lit(1)).alias("n"))
+    # lexicographic tie-break via max(struct(n, neg-anchor)): invert the
+    # anchor ordering by using min over struct(-n, anchor)
+    best = per.groupBy("target").agg(
+        F.min(F.struct((-F.col("n")).alias("neg"), F.col("anchor"))).alias("b"),
+        F.sum("n").cast("long").alias("n_links"),
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+    )
+    return best.select(
+        "target", "n_links", "n_anchors", F.col("b.anchor").alias("top_anchor")
+    )
+
+
 def normalize_url(col: Column) -> Column:
     """Canonical form for id hashing: lowercase, strip fragment and any
     trailing slash. Pure Spark SQL expressions (JVM-side, codegen)."""
@@ -287,7 +364,9 @@ def corpus_parquet(
     read, instead of trusting two generators to agree."""
     import os
 
-    path = f"{base_dir}/n{n_pages}_seed{seed}.parquet"
+    # _v2: bump whenever the generator's html layout changes, so stale
+    # caches from an older generator are never silently reused
+    path = f"{base_dir}/n{n_pages}_seed{seed}_v2.parquet"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
         synth_corpus(spark, n_pages=n_pages, seed=seed).write.mode(
