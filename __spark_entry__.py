@@ -34,6 +34,7 @@ from giraph_spark.datasets import (
     DEMO_EDGES_SQL,
     SCC_EDGES_SQL,
     demo_edges,
+    rmat_sql,
     with_weight,
 )
 from giraph_spark.dedup import (
@@ -2222,6 +2223,15 @@ def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", F.col("in_set").cast("long").alias("in_set"))
 
 
+def q_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R-MAT/Kronecker power-law generator, scale 12 (4096-vertex id
+    space) x 16384 edge draws — the full deduped edge list, replayed
+    bit-identically by the SQL oracle."""
+    from giraph_spark.datasets import rmat_edges
+
+    return rmat_edges(spark, scale=12, n_edges=16384, seed=7)
+
+
 def q_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redirect-chain resolution by pointer doubling: final target +
     exact hop count for every chain head of the functional demo map."""
@@ -3103,6 +3113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "matching": q_matching,
         "redirects": q_redirects,
+        "rmat": q_rmat,
         "deadlock": q_deadlock,
         "media_features": q_media_features,
         "corpus_extract_check": q_corpus_extract_check,
@@ -3314,6 +3325,7 @@ FROM documents""",
         "mis": _mis_sql(24),
         "matching": _matching_oracle_sql(),
         "redirects": _redirects_sql(),
+        "rmat": rmat_sql(12, 16384, seed=7),
         "deadlock": _deadlock_sql(12),
         "corpus_extract_check": _corpus_extract_sql(_CORPUS_PATH),
         "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PATH, 10),

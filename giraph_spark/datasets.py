@@ -90,6 +90,99 @@ def redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rmat_edges(
+    spark: SparkSession,
+    scale: int,
+    n_edges: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic R-MAT / Kronecker power-law generator (Chakrabarti,
+    Zhan & Faloutsos, SDM 2004 — the Graph500 edge distribution): each of
+    ``n_edges`` indices walks ``scale`` recursion levels, picking one of
+    four quadrants with probabilities (a, b, c, 1-a-b-c); the quadrant's
+    (row, col) bits build the (src, dst) ids. Skewed a > b,c,d yields the
+    hub-heavy web-like degree law the north rule's skew handling targets.
+
+    Determinism + cross-engine replay: the per-(edge, level) draw is the
+    portable 31-bit mix of ``algorithms.mis.luby_priority`` mod 10^4
+    against integer thresholds (no floating point, no engine RNG), so an
+    ANSI-SQL oracle regenerates every edge bit-identically.
+
+    Scale shape: ``spark.range`` + 2·scale codegen'd integer
+    expressions per row — zero shuffles until the final dedup; a 10^10
+    -edge generate runs at scan speed on any executor count.
+    """
+    from giraph_spark.algorithms.mis import luby_priority
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    ta = int(round(a * 10_000))
+    tb = int(round((a + b) * 10_000))
+    tc = int(round((a + b + c) * 10_000))
+    base = spark.range(0, n_edges, numPartitions=partitions).select(
+        F.col("id").alias("i")
+    )
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    for lvl in range(scale):
+        q = F.pmod(
+            luby_priority(F.col("i") * F.lit(64) + F.lit(lvl), seed),
+            F.lit(10_000),
+        )
+        sbit = F.when(q < tb, F.lit(0)).otherwise(F.lit(1)).cast("long")
+        dbit = (
+            F.when(q < ta, F.lit(0))
+            .when(q < tb, F.lit(1))
+            .when(q < tc, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        src = src + F.shiftleft(sbit, lvl)
+        dst = dst + F.shiftleft(dbit, lvl)
+    return (
+        base.select(src.alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def rmat_sql(
+    scale: int,
+    n_edges: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 42,
+) -> str:
+    """ANSI-SQL replay of :func:`rmat_edges` (same mix, same thresholds)."""
+    from giraph_spark.algorithms.mis import luby_priority_sql
+
+    ta = int(round(a * 10_000))
+    tb = int(round((a + b) * 10_000))
+    tc = int(round((a + b + c) * 10_000))
+    qs = ", ".join(
+        f"({luby_priority_sql(f'(i * 64 + {lvl})', seed)}) % 10000 AS q{lvl}"
+        for lvl in range(scale)
+    )
+    src = " + ".join(
+        f"(CASE WHEN q{lvl} < {tb} THEN 0 ELSE 1 END) * {1 << lvl}"
+        for lvl in range(scale)
+    )
+    dst = " + ".join(
+        f"(CASE WHEN q{lvl} < {ta} THEN 0 WHEN q{lvl} < {tb} THEN 1 "
+        f"WHEN q{lvl} < {tc} THEN 0 ELSE 1 END) * {1 << lvl}"
+        for lvl in range(scale)
+    )
+    return f"""SELECT DISTINCT src::BIGINT AS src, dst::BIGINT AS dst FROM (
+  SELECT ({src}) AS src, ({dst}) AS dst FROM (
+    SELECT i, {qs} FROM range(0, {n_edges}) t(i))
+) WHERE src <> dst"""
+
+
 # deterministic per-edge weight in [1, 3] — a pure function of (src, dst);
 # the small range bounds the edge count of weighted shortest paths, which
 # keeps the Bellman-Ford oracle's unroll depth small

@@ -341,6 +341,23 @@ def test_hits_matches_numpy_power_iteration(spark):
     assert run.supersteps == 6
 
 
+def test_rmat_skewed_and_parallelism_invariant(spark):
+    from giraph_spark.datasets import rmat_edges
+
+    e = rmat_edges(spark, scale=10, n_edges=4096, seed=3, partitions=8)
+    rows = {(r.src, r.dst) for r in e.collect()}
+    assert all(0 <= a < 1024 and 0 <= b < 1024 and a != b for a, b in rows)
+    # identical set at a different partitioning (pure function of i)
+    e2 = rmat_edges(spark, scale=10, n_edges=4096, seed=3, partitions=2)
+    assert {(r.src, r.dst) for r in e2.collect()} == rows
+    # hub skew: with a=0.57 the max in-degree dwarfs the mean
+    indeg = {}
+    for _, b in rows:
+        indeg[b] = indeg.get(b, 0) + 1
+    mean = sum(indeg.values()) / len(indeg)
+    assert max(indeg.values()) > 8 * mean
+
+
 def test_pointer_jump_resolves_chains_and_detects_cycles(spark):
     from giraph_spark.algorithms.paths import pointer_jump
 
