@@ -606,6 +606,108 @@ SELECT vec_id, centroid_id::BIGINT AS centroid_id, cosine FROM {assign(iters)} q
     )
 
 
+def _pq_sql(
+    final: str, m: int = 4, k: int = 4, iters: int = 2, seed: int = 7,
+    width: int = 16,
+) -> str:
+    """Shared PQ replay: per-subspace deterministic k-means (same
+    machinery as _kmeans_assign_sql, keyed by subspace with per-subspace
+    seed = seed + ss) + final per-(vector, subspace) code assignment in
+    a{iters}; ``final`` consumes a{iters} / c{iters} / sub."""
+
+    def assign(t: int) -> str:
+        return f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, ss, centroid_id FROM (
+    SELECT d.vec_id, d.ss, d.centroid_id,
+           row_number() OVER (PARTITION BY d.vec_id, d.ss
+                              ORDER BY round(d.dot / (ns.nrm * nc.nrm), 6) DESC,
+                                       d.centroid_id ASC) AS rn
+    FROM (SELECT s.vec_id, s.ss, c.centroid_id, sum(s.v * c.v) AS dot
+          FROM sub s JOIN c{t} c ON c.ss = s.ss AND c.spos = s.spos
+          GROUP BY s.vec_id, s.ss, c.centroid_id) d
+    JOIN snorms ns ON ns.vec_id = d.vec_id AND ns.ss = d.ss
+    JOIN cn{t} nc ON nc.ss = d.ss AND nc.centroid_id = d.centroid_id
+  ) WHERE rn = 1)"""
+
+    parts = [
+        _EMB_UNNEST,
+        f"""sub AS MATERIALIZED (
+  SELECT vec_id, (pos - 1) // {width} AS ss,
+         pos - ((pos - 1) // {width}) * {width} AS spos, v
+  FROM u)""",
+        """snorms AS MATERIALIZED (
+  SELECT vec_id, ss, sqrt(sum(v * v)) AS nrm FROM sub GROUP BY vec_id, ss)""",
+        f"""pri AS MATERIALIZED (
+  SELECT s.ss, e.vec_id,
+         {luby_priority_sql('e.vec_id', f's.ss + {seed}')} AS p
+  FROM (SELECT DISTINCT ss FROM sub) s
+  CROSS JOIN (SELECT DISTINCT vec_id FROM embeddings) e)""",
+        f"""init AS MATERIALIZED (
+  SELECT ss, vec_id, rn - 1 AS centroid_id FROM (
+    SELECT ss, vec_id,
+           row_number() OVER (PARTITION BY ss ORDER BY p, vec_id) AS rn
+    FROM pri) WHERE rn <= {k})""",
+        """c0 AS MATERIALIZED (
+  SELECT i.ss, i.centroid_id, s.spos, s.v
+  FROM init i JOIN sub s ON s.vec_id = i.vec_id AND s.ss = i.ss)""",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""cn{t} AS MATERIALIZED (
+  SELECT ss, centroid_id, sqrt(sum(v * v)) AS nrm
+  FROM c{t} GROUP BY ss, centroid_id)"""
+        )
+        parts.append(assign(t))
+        parts.append(
+            f"""mm{t} AS MATERIALIZED (
+  SELECT a.ss, a.centroid_id, s.spos, avg(s.v) AS v
+  FROM a{t} a JOIN sub s ON s.vec_id = a.vec_id AND s.ss = a.ss
+  GROUP BY a.ss, a.centroid_id, s.spos)"""
+        )
+        parts.append(
+            f"""c{t + 1} AS MATERIALIZED (
+  SELECT c.ss, c.centroid_id, c.spos, coalesce(m.v, c.v) AS v
+  FROM c{t} c LEFT JOIN mm{t} m
+    ON m.ss = c.ss AND m.centroid_id = c.centroid_id AND m.spos = c.spos)"""
+        )
+    parts.append(
+        f"""cn{iters} AS MATERIALIZED (
+  SELECT ss, centroid_id, sqrt(sum(v * v)) AS nrm
+  FROM c{iters} GROUP BY ss, centroid_id)"""
+    )
+    parts.append(assign(iters))
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+def _pq_encode_sql(iters: int = 2) -> str:
+    return _pq_sql(
+        f"""SELECT vec_id, ss::BIGINT AS subspace, centroid_id::BIGINT AS code
+FROM a{iters}"""
+    )
+
+
+def _pq_topk_sql(iters: int = 2, topk: int = 5, n_queries: int = 2) -> str:
+    final = f""",
+q AS (SELECT vec_id AS query_id, ss, spos, v FROM sub WHERE vec_id < {n_queries}),
+dt AS MATERIALIZED (
+  SELECT q.query_id, c.ss, c.centroid_id, sum(q.v * c.v) AS d
+  FROM q JOIN c{iters} c ON c.ss = q.ss AND c.spos = q.spos
+  GROUP BY q.query_id, c.ss, c.centroid_id),
+scores AS (
+  SELECT d.query_id, e.vec_id AS neighbor_id, round(sum(d.d), 6) AS score
+  FROM a{iters} e JOIN dt d ON d.ss = e.ss AND d.centroid_id = e.centroid_id
+  GROUP BY d.query_id, e.vec_id)
+SELECT query_id, rank::BIGINT AS rank, neighbor_id, score FROM (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scores) WHERE rank <= {topk}"""
+    # the trailing-final form: _pq_sql joins parts with ',' then appends
+    # final — here final starts with ',' to extend the WITH list
+    base = _pq_sql("__FINAL__")
+    return base.replace("\n__FINAL__", final)
+
+
 def _mis_sql(rounds: int) -> str:
     """Unrolled Luby rounds — replays mis.py's portable (id, round)
     priorities exactly; extra rounds past the fixpoint are no-ops."""
@@ -2091,6 +2193,32 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: 4 subspaces x 4 centroids trained by
+    the deterministic per-subspace k-means, one (subspace, code) row per
+    vector — the 64x-compressed ANN representation."""
+    from giraph_spark.embeddings import pq_encode, pq_fit
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_fit(emb, m=4, k=4, iters=2, dim=64, seed=7)
+    return pq_encode(emb, cb, m=4, dim=64).select(
+        "vec_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+    )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-5 per query over the PQ codes (asymmetric distance:
+    exact query x reconstructed database)."""
+    from giraph_spark.embeddings import pq_fit, pq_topk
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_fit(emb, m=4, k=4, iters=2, dim=64, seed=7)
+    queries_df = emb.where(F.col("vec_id") < 2)
+    return pq_topk(emb, cb, queries_df, k=5, m=4, dim=64)
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, brute-force exact baseline: all
     (id_a < id_b) pairs with cosine >= 0.4."""
@@ -3098,6 +3226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "kmeans_ivf": q_kmeans_ivf,
+        "pq_encode": q_pq_encode,
+        "pq_topk": q_pq_topk,
         "cosine_near_dup": q_cosine_near_dup,
         "cosine_near_dup_lsh": q_cosine_near_dup_lsh,
         "coarsen": q_coarsen,
@@ -3305,6 +3435,8 @@ SELECT rank::BIGINT AS rank, id, neighbor_id FROM r WHERE rank <= 3""",
         "ivf_assign": _IVF_SQL,
         "ivf_topk": _ANN_SQL,
         "kmeans_ivf": _kmeans_assign_sql(8, 4, 7),
+        "pq_encode": _pq_encode_sql(2),
+        "pq_topk": _pq_topk_sql(2, 5, 2),
         "cosine_near_dup": _COSINE_PAIRS_SQL,
         "cosine_near_dup_lsh": _COSINE_PAIRS_SQL,
         "coarsen": f"""WITH {_GRAPH}

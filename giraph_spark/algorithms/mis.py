@@ -39,9 +39,16 @@ def luby_priority(id_col: Column, rnd: int) -> Column:
     return x.bitwiseXOR(F.shiftright(x, 16))
 
 
-def luby_priority_sql(id_expr: str, rnd: int) -> str:
-    """The identical priority as an ANSI/DuckDB SQL expression."""
-    x1 = f"(({id_expr}) % {_M31} + {_C1 * (rnd + 1)}) % {_M31}"
+def luby_priority_sql(id_expr: str, rnd: int | str) -> str:
+    """The identical priority as an ANSI/DuckDB SQL expression.
+
+    ``rnd`` may be a Python int (constant-folded) or a SQL expression
+    string (evaluated per row — e.g. a subspace column)."""
+    if isinstance(rnd, str):
+        c1_term = f"{_C1} * (({rnd}) + 1)"
+    else:
+        c1_term = str(_C1 * (rnd + 1))
+    x1 = f"(({id_expr}) % {_M31} + {c1_term}) % {_M31}"
     x2 = f"(({x1}) * {_C2}) % {_M31}"
     x3 = f"xor(({x2}), ({x2}) >> 13)"
     x4 = f"(({x3}) * {_C3}) % {_M31}"

@@ -392,3 +392,139 @@ def quantize_int8(
     return emb.select(
         F.col(id_col), scale.alias("scale"), q.alias("q")
     )
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization codebooks (Jegou, Douze & Schmid, TPAMI 2011):
+    split the ``dim``-vector into ``m`` contiguous subspaces and train
+    ``k`` centroids per subspace with the SAME deterministic spherical
+    k-means as the IVF index (``kmeans_fit``; per-subspace seed =
+    ``seed + s`` so every subspace's init is independent but replayable).
+
+    Returns (subspace, centroid_id, ``vec_col``) — m*k rows of
+    ``dim/m``-wide double centroids: the 4 kB-scale codebook that gets
+    broadcast everywhere at corpus scale while the vectors themselves
+    compress to ``m`` byte-codes each (PQ's whole point at 100 TB:
+    64 float32 -> 4 codes = 64x smaller candidate scan).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    width = dim // m
+    parts = []
+    for s in range(m):
+        sub = vectors.select(
+            id_col, F.slice(F.col(vec_col), s * width + 1, width).alias(vec_col)
+        )
+        cb = kmeans_fit(sub, k=k, iters=iters, id_col=id_col,
+                        vec_col=vec_col, seed=seed + s)
+        parts.append(cb.select(F.lit(s).alias("subspace"), "centroid_id", vec_col))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _subvectors(
+    vectors: DataFrame, m: int, width: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, subspace, subvec) — one row per (vector, subspace)."""
+    return vectors.select(
+        id_col,
+        F.posexplode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_", "subspace"),
+        F.col(vec_col),
+    ).select(
+        id_col,
+        "subspace",
+        F.expr(f"slice({vec_col}, subspace * {width} + 1, {width})").alias("_sv"),
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes: (vec_id, subspace, code) — per subspace, the max-cosine
+    codebook centroid (6dp-rounded, centroid-id tie-break: the exact
+    ``ivf_assign`` argmax semantics, so any engine replays it).
+
+    Scale shape: codebooks broadcast (m*k tiny rows), one narrow
+    window-rank per (vector, subspace) — no shuffle of the vectors
+    beyond their existing partitioning."""
+    width = dim // m
+    sv = _subvectors(vectors, m, width, id_col, vec_col)
+    cb = codebooks.select(
+        "subspace", F.col("centroid_id").alias("code"), F.col(vec_col).alias("_cv")
+    )
+    scored = sv.join(F.broadcast(cb), "subspace").withColumn(
+        "_cos",
+        F.round(_dot(F.col("_sv"), F.col("_cv")) / (_norm(F.col("_sv")) * _norm(F.col("_cv"))), 6),
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.col("_cos").desc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "subspace", "code")
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: score(q, x) = sum over subspaces
+    of dot(q_s, codebook[s][code(x, s)]) — the query stays exact, the
+    database side is its PQ reconstruction. Returns (query_id, rank,
+    neighbor_id, score) with deterministic (score desc, id asc) ranking.
+
+    Scale shape: the distance table (queries x m x k dots) is tiny and
+    broadcast; the scan over codes is one broadcast join + a sum of m
+    terms per (query, vector) — no full-dimension math on the database
+    side, which is what makes PQ the 100 TB candidate-generation path."""
+    width = dim // m
+    codes = pq_encode(vectors, codebooks, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    qsv = _subvectors(
+        queries.select(F.col(id_col).alias("query_id"), vec_col),
+        m, width, "query_id", vec_col,
+    )
+    cb = codebooks.select(
+        "subspace", F.col("centroid_id").alias("code"), F.col(vec_col).alias("_cv")
+    )
+    dtable = qsv.join(F.broadcast(cb), "subspace").select(
+        "query_id", "subspace", "code",
+        _dot(F.col("_sv"), F.col("_cv")).alias("_d"),
+    )
+    scores = (
+        codes.join(F.broadcast(dtable), ["subspace", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("_d"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("long").alias("rank"),
+                "neighbor_id", "score")
+    )

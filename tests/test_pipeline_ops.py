@@ -443,3 +443,44 @@ def test_quantize_int8(spark):
     # dequantization error is bounded by scale/2 per component
     for r in rows.values():
         assert all(abs(c) <= 127 for c in r.q)
+
+
+def test_pq_codes_and_adc_scores(emb):
+    from giraph_spark.embeddings import pq_encode, pq_fit, pq_topk
+
+    m, k, dim = 4, 4, 64
+    width = dim // m
+    cb = pq_fit(emb, m=m, k=k, iters=2, dim=dim, seed=7)
+    cbs = {
+        (r.subspace, r.centroid_id): [float(x) for x in r.embedding]
+        for r in cb.collect()
+    }
+    assert len(cbs) == m * k
+    assert all(len(v) == width for v in cbs.values())
+
+    codes = pq_encode(emb, cb, m=m, dim=dim).collect()
+    n_vec = emb.count()
+    assert len(codes) == n_vec * m
+    assert all(0 <= r.code < k for r in codes)
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r.vec_id, {})[r.subspace] = r.code
+
+    # ADC scores reconstruct from the returned codebooks exactly
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    q = emb.where(F.col("vec_id") < 2)
+    top = pq_topk(emb, cb, q, k=5, m=m, dim=dim).collect()
+    assert {r.query_id for r in top} == {0, 1}
+    for r in top:
+        qv = vecs[r.query_id]
+        want = 0.0
+        for s in range(m):
+            cv = cbs[(s, by_vec[r.neighbor_id][s])]
+            want += sum(
+                qv[s * width + i] * cv[i] for i in range(width)
+            )
+        assert abs(r.score - round(want, 6)) < 2e-6, (r, want)
+    # ranks are 1..5 per query, deterministic ordering
+    for qid in (0, 1):
+        ranks = sorted(r.rank for r in top if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
