@@ -2636,6 +2636,48 @@ ORDER BY round(rank, 6) DESC, host ASC LIMIT 10"""
     )
 
 
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-grade URL canonicalization over the shared messy-URL
+    generator: fragment/default-port strip, utm_* drop, query-param
+    sort, trailing-slash + case normalization. The oracle reimplements
+    the same spec independently in DuckDB."""
+    from giraph_spark.corpus import canonicalize_url
+    from giraph_spark.datasets import MESSY_URL_EXPR
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    messy = li.select(F.expr(MESSY_URL_EXPR).alias("url")).dropDuplicates(["url"])
+    return messy.select("url", canonicalize_url(F.col("url")).alias("canonical"))
+
+
+def _url_canonical_sql() -> str:
+    from giraph_spark.datasets import MESSY_URL_EXPR
+
+    return rf"""WITH m AS MATERIALIZED (
+  SELECT DISTINCT {MESSY_URL_EXPR} AS url FROM lineitem),
+s1 AS (SELECT url, regexp_replace(url, '#.*$', '') AS u FROM m),
+s2 AS (SELECT url,
+              regexp_extract(u, '^([^?]*)', 1) AS base,
+              regexp_extract(u, '^[^?]*\?(.*)$', 1) AS q
+       FROM s1),
+s3 AS (SELECT url,
+              regexp_replace(base, '/$', '') AS base,
+              coalesce(array_to_string(list_sort(list_filter(str_split(q, '&'),
+                x -> NOT starts_with(x, 'utm_') AND x <> '')), '&'), '') AS sq
+       FROM s2),
+s4 AS (SELECT url, sq,
+              lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+              || substr(base, length(regexp_extract(base,
+                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)) + 1) AS low
+       FROM s3),
+s5 AS (SELECT url, sq,
+              regexp_replace(regexp_replace(low,
+                '^(http://[^/:]+):80([/?]|$)', '\1\2'),
+                '^(https://[^/:]+):443([/?]|$)', '\1\2') AS low
+       FROM s4)
+SELECT url, CASE WHEN sq = '' THEN low ELSE low || '?' || sq END AS canonical
+FROM s5"""
+
+
 def q_corpus_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation: per normalized link target, total
     in-links, distinct anchor strings, and the most frequent anchor
@@ -3253,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_host_rank": q_corpus_host_rank,
         "corpus_trustrank": q_corpus_trustrank,
         "corpus_anchor_text": q_corpus_anchor_text,
+        "url_canonical": q_url_canonical,
     }
 
 
@@ -3466,6 +3509,7 @@ FROM documents""",
         "corpus_host_rank": _corpus_host_rank_sql(_CORPUS_PATH, 10),
         "corpus_trustrank": _corpus_trustrank_sql(_CORPUS_PATH, 10),
         "corpus_anchor_text": _corpus_anchor_text_sql(_CORPUS_PATH),
+        "url_canonical": _url_canonical_sql(),
         "component_sizes": (
             "WITH "
             + ",\n".join(

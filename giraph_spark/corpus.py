@@ -311,6 +311,36 @@ def normalize_url(col: Column) -> Column:
     return F.regexp_replace(c, r"/$", "")
 
 
+def canonicalize_url(col: Column) -> Column:
+    """Full crawl-grade URL canonicalization — the dedup key a crawler
+    uses before frontier scheduling. Semantics (applied in this order):
+
+    1. strip the fragment (``#...``);
+    2. split off the query string; drop empty and ``utm_*`` tracking
+       params, sort the rest byte-wise, rejoin with ``&``;
+    3. strip one trailing ``/`` from the path;
+    4. lowercase the scheme and authority (path/query case preserved);
+    5. strip explicit default ports (``:80`` for http, ``:443`` https).
+
+    Pure JVM-side Spark SQL expressions (codegen, no Python) — a 100 TB
+    url column canonicalizes at scan speed; the DuckDB oracle
+    reimplements the same spec independently (``_url_canonical_sql``)."""
+    u = F.regexp_replace(col, r"#.*$", "")
+    base = F.regexp_extract(u, r"^([^?]*)", 1)
+    q = F.regexp_extract(u, r"^[^?]*\?(.*)$", 1)
+    kept = F.filter(
+        F.split(q, "&"),
+        lambda x: (~x.startswith("utm_")) & (x != F.lit("")),
+    )
+    sq = F.array_join(F.array_sort(kept), "&")
+    base = F.regexp_replace(base, r"/$", "")
+    pref = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    low = F.concat(F.lower(pref), F.substr(base, F.length(pref) + F.lit(1)))
+    low = F.regexp_replace(low, r"^(http://[^/:]+):80([/?]|$)", r"$1$2")
+    low = F.regexp_replace(low, r"^(https://[^/:]+):443([/?]|$)", r"$1$2")
+    return F.when(sq == "", low).otherwise(F.concat(low, F.lit("?"), sq))
+
+
 def url_id(col: Column) -> Column:
     """Deterministic 64-bit vertex id: xxhash64 of the normalized URL —
     stable across runs and parallelism levels (replaces the reference's

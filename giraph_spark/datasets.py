@@ -90,6 +90,22 @@ def redirect_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# messy-URL generator shared VERBATIM between Spark (F.expr) and the
+# DuckDB oracle: mixed-case scheme/host, explicit default ports, tracking
+# params, unsorted queries, trailing slashes, fragments — every case the
+# canonicalizer must handle
+MESSY_URL_EXPR = """
+'HTTP://Site' || CAST(l_orderkey % 97 AS STRING) ||
+CASE WHEN l_orderkey % 2 = 0 THEN '.Example.com' ELSE '.example.com' END ||
+CASE WHEN l_orderkey % 3 = 0 THEN ':80' ELSE '' END ||
+'/Path/' || CAST(l_partkey % 1000 AS STRING) ||
+CASE l_suppkey % 4 WHEN 0 THEN '' WHEN 1 THEN '/'
+     WHEN 2 THEN '?utm_source=feed&z=9&a=1'
+     ELSE '?b=2&utm_campaign=x&a=1' END ||
+CASE WHEN l_orderkey % 5 = 0 THEN '#Section-2' ELSE '' END
+""".strip().replace("\n", " ")
+
+
 def rmat_edges(
     spark: SparkSession,
     scale: int,

@@ -80,3 +80,23 @@ def test_host_graph_rollup(spark):
     # multi-site corpus → cross-host edges exist
     assert any(r.src_host != r.dst_host for r in rows)
     hg.unpersist()
+
+
+def test_canonicalize_url_cases(spark):
+    from giraph_spark.corpus import canonicalize_url
+
+    cases = {
+        "HTTP://A.Com:80/X": "http://a.com/X",
+        "https://B.com:443/": "https://b.com",
+        "http://c.com/p?utm_source=x": "http://c.com/p",
+        "http://c.com/p?z=1&a=2&utm_b=3#frag": "http://c.com/p?a=2&z=1",
+        "http://c.com/p/": "http://c.com/p",
+        "http://c.com:8080/p": "http://c.com:8080/p",
+        "https://d.com/A/B?b=2&a=1": "https://d.com/A/B?a=1&b=2",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "url string")
+    got = {
+        r.url: r.c
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == cases
