@@ -2636,6 +2636,52 @@ ORDER BY round(rank, 6) DESC, host ASC LIMIT 10"""
     )
 
 
+def q_corpus_host_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl host-graph diff: split the corpus at the median
+    warc_ts into two crawl windows, roll each up to its host graph, and
+    report added / removed / kept host-pair counts (edge_delta)."""
+    from giraph_spark.corpus import host_graph
+    from giraph_spark.graph import edge_delta
+
+    pages, _ = _corpus_pages(spark)
+    cutoff = F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=F.lit(_CORPUS_N // 2)
+    )
+    w1 = host_graph(pages.where(F.col("warc_ts") < cutoff))
+    w2 = host_graph(pages.where(F.col("warc_ts") >= cutoff))
+    d = edge_delta(w1, w2, keys=("src_host", "dst_host"))
+    return d.groupBy("status").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+
+
+def _corpus_host_delta_sql(path: str, n_pages: int) -> str:
+    host = "regexp_extract({x}, '^https?://([^/]+)', 1)"
+    # rebuilds the link resolution with the page timestamp carried through
+    return f"""WITH pages AS MATERIALIZED (
+  SELECT url, warc_ts, decode(html) AS h FROM read_parquet('{path}/*.parquet')),
+links AS (
+  SELECT url, warc_ts,
+         unnest(regexp_extract_all(h, '<a\\s+href="([^"]*)"', 1)) AS href
+  FROM pages),
+res AS (
+  SELECT warc_ts,
+         {host.format(x='url')} AS sh,
+         CASE WHEN href LIKE '/%'
+              THEN regexp_extract(url, '^(https?://[^/]+)', 1)
+              ELSE regexp_extract(href, '^(https?://[^/]+)', 1) END AS dhu
+  FROM links),
+hp AS (SELECT warc_ts, sh,
+              regexp_extract(dhu, '^https?://([^/]+)', 1) AS dh FROM res),
+cut AS (SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ({n_pages // 2}) SECOND AS t),
+w1 AS (SELECT DISTINCT sh, dh FROM hp WHERE warc_ts < (SELECT t FROM cut)),
+w2 AS (SELECT DISTINCT sh, dh FROM hp WHERE warc_ts >= (SELECT t FROM cut)),
+d AS (
+  SELECT CASE WHEN o.sh IS NOT NULL AND n.sh IS NOT NULL THEN 'kept'
+              WHEN o.sh IS NOT NULL THEN 'removed'
+              ELSE 'added' END AS status
+  FROM w1 o FULL OUTER JOIN w2 n ON n.sh = o.sh AND n.dh = o.dh)
+SELECT status, count(*)::BIGINT AS n_pairs FROM d GROUP BY status"""
+
+
 def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-grade URL canonicalization over the shared messy-URL
     generator: fragment/default-port strip, utm_* drop, query-param
@@ -3296,6 +3342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_trustrank": q_corpus_trustrank,
         "corpus_anchor_text": q_corpus_anchor_text,
         "url_canonical": q_url_canonical,
+        "corpus_host_delta": q_corpus_host_delta,
     }
 
 
@@ -3510,6 +3557,7 @@ FROM documents""",
         "corpus_trustrank": _corpus_trustrank_sql(_CORPUS_PATH, 10),
         "corpus_anchor_text": _corpus_anchor_text_sql(_CORPUS_PATH),
         "url_canonical": _url_canonical_sql(),
+        "corpus_host_delta": _corpus_host_delta_sql(_CORPUS_PATH, _CORPUS_N),
         "component_sizes": (
             "WITH "
             + ",\n".join(

@@ -314,3 +314,26 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
             F.max("degree").alias("max_degree"),
         )
     )
+
+
+def edge_delta(
+    old: DataFrame, new: DataFrame, keys: tuple[str, ...] = ("src", "dst")
+) -> DataFrame:
+    """Snapshot diff between two edge tables: one row per distinct key
+    tuple with ``status`` in {'added', 'removed', 'kept'} — the crawl-
+    over-crawl link-graph change feed (which links appeared, vanished,
+    persisted between two snapshots of the same web).
+
+    Scale shape: two dedups + ONE full-outer shuffle join on the key —
+    both sides hash-partition on the same key so the join is co-located;
+    no driver-side set math."""
+    ks = list(keys)
+    o = old.select(*ks).dropDuplicates(ks).withColumn("_o", F.lit(1))
+    n = new.select(*ks).dropDuplicates(ks).withColumn("_n", F.lit(1))
+    j = o.join(n, ks, "full_outer")
+    status = (
+        F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), F.lit("kept"))
+        .when(F.col("_o").isNotNull(), F.lit("removed"))
+        .otherwise(F.lit("added"))
+    )
+    return j.select(*ks, status.alias("status"))

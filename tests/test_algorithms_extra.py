@@ -939,3 +939,13 @@ def test_trussness_two_triangles_and_k4(spark):
     want = {(a, b): 4 for a in range(4) for b in range(a + 1, 4)}
     want[(0, 9)] = 2
     assert got == want
+
+
+def test_edge_delta_statuses(spark):
+    from giraph_spark.graph import edge_delta
+
+    old = spark.createDataFrame([(1, 2), (2, 3), (2, 3), (3, 4)], "src long, dst long")
+    new = spark.createDataFrame([(2, 3), (3, 4), (5, 6)], "src long, dst long")
+    got = {(r.src, r.dst): r.status for r in edge_delta(old, new).collect()}
+    assert got == {(1, 2): "removed", (2, 3): "kept", (3, 4): "kept",
+                   (5, 6): "added"}
