@@ -54,6 +54,26 @@ _ASSOCIATIVE = {
 }
 
 
+def scatter_to_targets(
+    vertices: DataFrame,
+    targets_col: str,
+    msg_cols: list[str],
+    dst_col: str = "dst",
+) -> DataFrame:
+    """sendMessageToMultipleEdges (``graph/Computation.java:123-135``):
+    one message value fanned out to an explicit id list. The vertex row
+    carries ``targets_col: array<long>``; the scatter is a single
+    ``explode`` — Tungsten materializes the copies at shuffle-write, so
+    the per-row cost matches Giraph's one-encode-many-ids message store
+    (``comm/messages/MessageEncodeAndStoreType.java:25-38``).
+
+    Returns (``dst_col``, *msg_cols) ready for ``gather_messages``."""
+    return vertices.select(
+        F.explode(F.col(targets_col)).alias(dst_col),
+        *[F.col(c) for c in msg_cols],
+    )
+
+
 def gather_messages(
     messages: DataFrame,
     aggs: list[tuple[str, str]],

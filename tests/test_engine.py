@@ -108,6 +108,25 @@ def test_gather_rejects_non_associative(spark):
         gather_messages(df, [("msg", "avg")])
 
 
+def test_scatter_to_targets(spark):
+    """sendMessageToMultipleEdges (Computation.java:123-135): one value
+    fanned out to an explicit target-id list, then combined per target —
+    equivalent to the explode+gather the scatter compiles to."""
+    from giraph_spark.pregel import scatter_to_targets
+
+    verts = spark.createDataFrame(
+        [(1, [10, 11], 2.0), (2, [11], 5.0), (3, [], 9.0)],
+        "id long, targets array<long>, msg double",
+    )
+    out = scatter_to_targets(verts, "targets", ["msg"])
+    assert out.columns == ["dst", "msg"]
+    got = {
+        (r["dst"], r["msg"])
+        for r in gather_messages(out, [("msg", "sum")]).collect()
+    }
+    assert got == {(10, 2.0), (11, 7.0)}  # empty target list drops out
+
+
 def test_worker_hooks_lifecycle(spark):
     """WorkerContext.java:78-154 lifecycle order: preApplication once,
     pre/postSuperstep per superstep, postApplication once; postSuperstep
