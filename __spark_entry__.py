@@ -2724,6 +2724,43 @@ SELECT url, CASE WHEN sq = '' THEN low ELSE low || '?' || sq END AS canonical
 FROM s5"""
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization: uncrawled link targets ranked by
+    in-links from the crawled set (ids % 3 == 0), politeness-capped to
+    top-3 per host bucket (url_id % 64) with the skew-safe two-level
+    top-k (graph.py:crawl_frontier)."""
+    from giraph_spark.graph import crawl_frontier
+
+    e = demo_edges(spark, sf_dir)
+    crawled = (
+        e.select(F.col("src").alias("id"))
+        .where(F.col("id") % 3 == 0)
+        .dropDuplicates(["id"])
+    )
+    out = crawl_frontier(
+        e, crawled, host_col=F.col("url_id") % 64, per_host_k=3, salt=8
+    )
+    return out.select(
+        "url_id", "host", "inlinks", F.col("rk").cast("long").alias("rk")
+    )
+
+
+_CRAWL_FRONTIER_SQL = f"""WITH edges AS MATERIALIZED ({DEMO_EDGES_SQL}),
+crawled AS (SELECT DISTINCT src AS id FROM edges WHERE src % 3 = 0),
+cand AS (
+  SELECT e.dst AS url_id, count(*)::BIGINT AS inlinks
+  FROM edges e
+  WHERE e.src IN (SELECT id FROM crawled)
+    AND e.dst NOT IN (SELECT id FROM crawled)
+  GROUP BY e.dst),
+ranked AS (
+  SELECT url_id, url_id % 64 AS host, inlinks,
+         row_number() OVER (PARTITION BY url_id % 64
+                            ORDER BY inlinks DESC, url_id ASC) AS rk
+  FROM cand)
+SELECT url_id, host, inlinks, rk::BIGINT AS rk FROM ranked WHERE rk <= 3"""
+
+
 def q_corpus_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation: per normalized link target, total
     in-links, distinct anchor strings, and the most frequent anchor
@@ -3342,6 +3379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_trustrank": q_corpus_trustrank,
         "corpus_anchor_text": q_corpus_anchor_text,
         "url_canonical": q_url_canonical,
+        "crawl_frontier": q_crawl_frontier,
         "corpus_host_delta": q_corpus_host_delta,
     }
 
@@ -3557,6 +3595,7 @@ FROM documents""",
         "corpus_trustrank": _corpus_trustrank_sql(_CORPUS_PATH, 10),
         "corpus_anchor_text": _corpus_anchor_text_sql(_CORPUS_PATH),
         "url_canonical": _url_canonical_sql(),
+        "crawl_frontier": _CRAWL_FRONTIER_SQL,
         "corpus_host_delta": _corpus_host_delta_sql(_CORPUS_PATH, _CORPUS_N),
         "component_sizes": (
             "WITH "

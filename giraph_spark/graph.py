@@ -337,3 +337,55 @@ def edge_delta(
         .otherwise(F.lit("added"))
     )
     return j.select(*ks, status.alias("status"))
+
+
+def crawl_frontier(
+    edges: DataFrame,
+    crawled: DataFrame,
+    host_col,
+    per_host_k: int = 3,
+    salt: int = 8,
+) -> DataFrame:
+    """Crawl-frontier prioritization (OPIC-style scheduling): rank the
+    UNCRAWLED link targets by how many already-crawled pages link to
+    them, then keep the top ``per_host_k`` per host — the politeness cap
+    a frontier scheduler enforces so one mega-host cannot monopolize the
+    fetch budget. Giraph has no frontier op; the discover-and-rank shape
+    is its message-creates-vertex pattern
+    (``graph/DefaultVertexResolver.java:126-130``) re-expressed as joins.
+
+    ``crawled`` is a one-column (``id``) table of fetched page ids;
+    ``host_col`` is a Column mapping a target id to its host bucket.
+
+    Scale shape: a LEFT SEMI join (links whose source was crawled) and a
+    LEFT ANTI join (targets not yet crawled) — both plain hash joins on
+    id, no data widening — then ONE groupBy(dst) count. The per-host
+    top-k runs TWICE: first per (host, salt-of-dst) shard, then on the
+    <= salt*k survivors per host, so a host with millions of frontier
+    URLs never lands in a single window partition (same two-level bound
+    as the salted gather in pregel.py; salt is deterministic content
+    hash, retry-safe). Returns (url_id, host, inlinks, rk).
+    """
+    cand = (
+        edges.join(crawled, edges["src"] == crawled["id"], "left_semi")
+        .join(crawled, edges["dst"] == crawled["id"], "left_anti")
+        .groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("inlinks"))
+        .select(F.col("dst").alias("url_id"), "inlinks")
+        .withColumn("host", host_col)
+    )
+    order = [F.desc("inlinks"), F.asc("url_id")]
+    if salt and salt > 1:
+        shard = F.pmod(F.xxhash64("url_id"), F.lit(salt))
+        w1 = Window.partitionBy("host", shard).orderBy(*order)
+        cand = (
+            cand.withColumn("_rk", F.row_number().over(w1))
+            .where(F.col("_rk") <= per_host_k)
+            .drop("_rk")
+        )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= per_host_k)
+        .select("url_id", "host", "inlinks", "rk")
+    )

@@ -949,3 +949,43 @@ def test_edge_delta_statuses(spark):
     got = {(r.src, r.dst): r.status for r in edge_delta(old, new).collect()}
     assert got == {(1, 2): "removed", (2, 3): "kept", (3, 4): "kept",
                    (5, 6): "added"}
+
+
+def test_crawl_frontier(spark):
+    from pyspark.sql import functions as F
+
+    from giraph_spark.graph import crawl_frontier
+
+    # crawled = {0, 1}; edges from crawled discover 3,4,5 (5 twice) and
+    # 2 (from uncrawled 9 only, so excluded from candidates)
+    edges = spark.createDataFrame(
+        [(0, 3), (0, 5), (1, 5), (1, 4), (9, 2), (0, 1), (3, 4)],
+        "src long, dst long",
+    )
+    crawled = spark.createDataFrame([(0,), (1,)], "id long")
+    got = {
+        r.url_id: (r.host, r.inlinks, r.rk)
+        for r in crawl_frontier(
+            edges, crawled, host_col=F.col("url_id") % 2, per_host_k=2
+        ).collect()
+    }
+    # host 1 = {3 (1 inlink), 5 (2 inlinks)}; host 0 = {4 (1 inlink)}
+    assert got == {5: (1, 2, 1), 3: (1, 1, 2), 4: (0, 1, 1)}
+
+
+def test_crawl_frontier_per_host_cap_and_salt_parity(spark):
+    from pyspark.sql import functions as F
+
+    from giraph_spark.graph import crawl_frontier
+
+    # one host bucket, 6 frontier urls with distinct in-link counts:
+    # url u gets u in-links from crawled sources 100..100+u
+    rows = [(100 + i, u) for u in range(1, 7) for i in range(u)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    crawled = spark.createDataFrame([(100 + i,) for i in range(6)], "id long")
+    kw = dict(host_col=F.lit(0), per_host_k=3)
+    top = crawl_frontier(edges, crawled, salt=4, **kw).collect()
+    assert [(r.url_id, r.inlinks, r.rk) for r in
+            sorted(top, key=lambda r: r.rk)] == [(6, 6, 1), (5, 5, 2), (4, 4, 3)]
+    unsalted = crawl_frontier(edges, crawled, salt=None, **kw).collect()
+    assert sorted(map(tuple, top)) == sorted(map(tuple, unsalted))
