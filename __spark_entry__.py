@@ -2761,6 +2761,103 @@ ranked AS (
 SELECT url_id, host, inlinks, rk::BIGINT AS rk FROM ranked WHERE rk <= 3"""
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate 3-grams (template/nav/footer detection) —
+    shingles in >=3 docs and >=10% of a source's documents."""
+    from giraph_spark.text import boilerplate_shingles
+
+    return boilerplate_shingles(
+        _docs(spark, sf_dir), group_col="source", n=3, min_docs=3, min_ratio=0.1
+    )
+
+
+_BOILERPLATE_SQL = """WITH tok AS (
+  SELECT doc_id, source, unnest(r) AS token, generate_subscripts(r, 1) AS pos
+  FROM (SELECT doc_id, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS r
+        FROM documents)),
+sh AS (
+  SELECT DISTINCT s.doc_id, s.source,
+         s.token || ' ' || t2.token || ' ' || t3.token AS shingle
+  FROM tok s
+  JOIN tok t2 ON t2.doc_id = s.doc_id AND t2.pos = s.pos + 1
+  JOIN tok t3 ON t3.doc_id = s.doc_id AND t3.pos = s.pos + 2),
+d AS (SELECT source, count(DISTINCT doc_id) AS nd FROM documents GROUP BY source),
+f AS (SELECT source, shingle, count(*)::BIGINT AS n_docs
+      FROM sh GROUP BY source, shingle)
+SELECT f.source, shingle, n_docs, round(n_docs * 1.0 / d.nd, 6) AS ratio
+FROM f JOIN d USING (source)
+WHERE n_docs >= 3 AND round(n_docs * 1.0 / d.nd, 6) >= 0.1"""
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(a in b) >= 0.2 over the
+    documents table (quote/wrap detection, Broder containment)."""
+    from giraph_spark.dedup import containment_pairs
+
+    return containment_pairs(
+        _docs(spark, sf_dir), threshold=0.2, n=3, max_df=None
+    )
+
+
+_CONTAINMENT_SQL = """WITH tok AS (
+  SELECT doc_id, unnest(r) AS token, generate_subscripts(r, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS r
+        FROM documents)),
+sh AS (
+  SELECT DISTINCT s.doc_id,
+         s.token || ' ' || t2.token || ' ' || t3.token AS shingle
+  FROM tok s
+  JOIN tok t2 ON t2.doc_id = s.doc_id AND t2.pos = s.pos + 1
+  JOIN tok t3 ON t3.doc_id = s.doc_id AND t3.pos = s.pos + 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON b.shingle = a.shingle AND b.doc_id <> a.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(inter * 1.0 / s.sz, 6) AS containment
+FROM shared JOIN sizes s ON s.doc_id = shared.doc_a
+WHERE round(inter * 1.0 / s.sz, 6) >= 0.2"""
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pay-level-domain rollup of the messy-host generator: hosts per
+    registrable domain (www/port/case stripped, two-level suffixes)."""
+    from giraph_spark.corpus import registrable_domain
+    from giraph_spark.datasets import MESSY_HOST_EXPR
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hosts = li.select(F.expr(MESSY_HOST_EXPR).alias("host")).dropDuplicates(
+        ["host"]
+    )
+    return (
+        hosts.select("host", registrable_domain(F.col("host")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count_distinct("host").alias("n_hosts"))
+    )
+
+
+def _url_domains_sql() -> str:
+    from giraph_spark.corpus import TWO_LEVEL_SUFFIXES
+    from giraph_spark.datasets import MESSY_HOST_EXPR
+
+    sfx = ", ".join(f"'{s}'" for s in TWO_LEVEL_SUFFIXES)
+    return rf"""WITH m AS MATERIALIZED (
+  SELECT DISTINCT {MESSY_HOST_EXPR} AS host FROM lineitem),
+s1 AS (SELECT host,
+              regexp_replace(regexp_replace(lower(host), ':[0-9]+$', ''),
+                             '^www\.', '') AS h
+       FROM m),
+p AS (SELECT host, h, str_split(h, '.') AS l FROM s1),
+d AS (SELECT host,
+             CASE WHEN len(l) <= 2 THEN h
+                  WHEN (l[-2] || '.' || l[-1]) IN ({sfx})
+                  THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+                  ELSE l[-2] || '.' || l[-1] END AS domain
+      FROM p)
+SELECT domain, count(DISTINCT host)::BIGINT AS n_hosts FROM d GROUP BY domain"""
+
+
 def q_corpus_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation: per normalized link target, total
     in-links, distinct anchor strings, and the most frequent anchor
@@ -3380,6 +3477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_anchor_text": q_corpus_anchor_text,
         "url_canonical": q_url_canonical,
         "crawl_frontier": q_crawl_frontier,
+        "boilerplate": q_boilerplate,
+        "containment": q_containment,
+        "url_domains": q_url_domains,
         "corpus_host_delta": q_corpus_host_delta,
     }
 
@@ -3596,6 +3696,9 @@ FROM documents""",
         "corpus_anchor_text": _corpus_anchor_text_sql(_CORPUS_PATH),
         "url_canonical": _url_canonical_sql(),
         "crawl_frontier": _CRAWL_FRONTIER_SQL,
+        "boilerplate": _BOILERPLATE_SQL,
+        "containment": _CONTAINMENT_SQL,
+        "url_domains": _url_domains_sql(),
         "corpus_host_delta": _corpus_host_delta_sql(_CORPUS_PATH, _CORPUS_N),
         "component_sizes": (
             "WITH "

@@ -430,3 +430,57 @@ def host_graph(pages: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
+
+
+# Two-level public suffixes handled by registrable_domain — a small,
+# fixed, documented subset of the public-suffix list (the full PSL is
+# a data file a production deployment would broadcast-join instead).
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr",
+)
+
+
+def registrable_domain(col: Column) -> Column:
+    """Pay-level (registrable) domain of a host — the key every
+    host-level rollup actually wants to group by (``blog.example.co.uk``
+    and ``www.example.co.uk`` are the same site owner). Semantics:
+    lowercase, strip a ``:port`` suffix and one leading ``www.``; if the
+    last two labels form a known two-level suffix keep three labels,
+    else keep two; hosts with <= 2 labels pass through.
+
+    Pure JVM expressions (split + element_at + when), codegen-friendly:
+    a 100 TB host column rolls up at scan speed. The suffix set is the
+    in-repo :data:`TWO_LEVEL_SUFFIXES` subset, disclosed and oracle-
+    replayable; production would broadcast the full public-suffix list.
+    """
+    h = F.lower(F.regexp_replace(col, r":\d+$", ""))
+    h = F.regexp_replace(h, r"^www\.", "")
+    parts = F.split(h, r"\.")
+    np_ = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    dom3 = F.concat_ws(".", F.element_at(parts, -3), last2)
+    return F.when(np_ <= 2, h).otherwise(
+        F.when(last2.isin(*TWO_LEVEL_SUFFIXES), dom3).otherwise(last2)
+    )
+
+
+def domain_graph(pages: DataFrame) -> DataFrame:
+    """Link graph rolled up to the registrable-domain level:
+    (src_domain, dst_domain, n_links). One groupBy past
+    :func:`host_graph` — the next rung of the standard Common-Crawl
+    page -> host -> domain reduction ladder."""
+    hg = host_graph(pages)
+    return (
+        hg.select(
+            registrable_domain(F.col("src_host")).alias("src_domain"),
+            registrable_domain(F.col("dst_host")).alias("dst_domain"),
+            "n_links",
+        )
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.sum("n_links").alias("n_links"))
+    )

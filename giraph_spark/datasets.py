@@ -106,6 +106,17 @@ CASE WHEN l_orderkey % 5 = 0 THEN '#Section-2' ELSE '' END
 """.strip().replace("\n", " ")
 
 
+MESSY_HOST_EXPR = """
+CASE WHEN l_orderkey % 7 = 0 THEN 'WWW.' ELSE '' END ||
+'h' || CAST(l_orderkey % 50 AS STRING) ||
+CASE l_partkey % 5 WHEN 0 THEN '.Example.com'
+     WHEN 1 THEN '.shop.example.CO.UK'
+     WHEN 2 THEN '.example.org:8080'
+     WHEN 3 THEN '.example.com.au'
+     ELSE '.example.net' END
+""".strip().replace("\n", " ")
+
+
 def rmat_edges(
     spark: SparkSession,
     scale: int,

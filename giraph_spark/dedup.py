@@ -311,3 +311,48 @@ def window_dup_stats(
             (shared_frac >= threshold).alias("dup_candidate"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric containment C(a in b) = |Sa & Sb| / |Sa| — catches a
+    document QUOTED or WRAPPED inside a larger one (aggregator pages,
+    quote-reply chains), which symmetric Jaccard misses when the sizes
+    differ a lot (Broder's containment measure, the other half of the
+    resemblance/containment pair).
+
+    Returns (doc_a, doc_b, containment) for ORDERED pairs a != b where
+    the fraction of a's n-gram shingles also present in b is >=
+    ``threshold`` (rounded to 6 decimals first, so any ANSI engine
+    replays the cut). Same inverted-index bound as
+    :func:`jaccard_pairs`: cost = sum over shingles of df^2, capped by
+    ``max_df``; no all-pairs scan.
+    """
+    sh = shingles(docs, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(df_counts.where(F.col("_df") <= max_df), "shingle").select(
+            "doc_id", "shingle"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza")),
+            "doc_a",
+        )
+        .withColumn("containment", F.round(F.col("inter") / F.col("sza"), 6))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

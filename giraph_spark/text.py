@@ -294,3 +294,41 @@ def contamination(
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared")
     )
+
+
+def boilerplate_shingles(
+    docs: DataFrame,
+    group_col: str = "source",
+    n: int = 3,
+    min_docs: int = 3,
+    min_ratio: float = 0.1,
+) -> DataFrame:
+    """Template/boilerplate detection: word n-grams that recur across
+    many documents of the same group (host / source / template bucket)
+    are boilerplate — nav bars, footers, cookie banners — and poison
+    training data if left in. Returns ``(group, shingle, n_docs,
+    ratio)`` for shingles present in >= ``min_docs`` documents and >=
+    ``min_ratio`` of the group's documents.
+
+    Scale shape: shingling is codegen (posexplode + array slice, see
+    :func:`shingles`); the document-frequency count is ONE map-side-
+    combined groupBy on (group, shingle) — per-group doc totals are a
+    second tiny aggregate joined back. No all-pairs comparison anywhere:
+    cost is linear in total shingle occurrences, the same bound as the
+    MinHash pipeline. The ratio is rounded to 6 decimals BEFORE the
+    threshold test so any ANSI engine replays the cut identically.
+    """
+    grp = docs.select("doc_id", F.col(group_col).alias("grp"))
+    per = (
+        shingles(docs, n)
+        .join(grp, "doc_id")
+        .groupBy("grp", "shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    totals = grp.groupBy("grp").agg(F.count_distinct("doc_id").alias("_nd"))
+    return (
+        per.join(totals, "grp")
+        .withColumn("ratio", F.round(F.col("n_docs") / F.col("_nd"), 6))
+        .where((F.col("n_docs") >= min_docs) & (F.col("ratio") >= min_ratio))
+        .select(F.col("grp").alias(group_col), "shingle", "n_docs", "ratio")
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from giraph_spark.datasets import demo_edges, with_weight
 from giraph_spark.dedup import (
+    containment_pairs,
     exact_duplicates,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -25,6 +26,7 @@ from giraph_spark.dedup import (
 )
 from giraph_spark.embeddings import cosine_topk, ivf_assign, ivf_topk
 from giraph_spark.text import (
+    boilerplate_shingles,
     fingerprints,
     quality_scores,
     shingles,
@@ -484,3 +486,51 @@ def test_pq_codes_and_adc_scores(emb):
     for qid in (0, 1):
         ranks = sorted(r.rank for r in top if r.query_id == qid)
         assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_containment_asymmetric(spark):
+    # doc 1's shingles are a strict subset of doc 2's
+    data = [
+        (1, "a b c d e"),          # 3 shingles, all inside doc 2
+        (2, "a b c d e f g h"),    # 6 shingles
+        (3, "x y z w q"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.containment
+           for r in containment_pairs(df, threshold=0.4, n=3).collect()}
+    assert got == {(1, 2): 1.0, (2, 1): 0.5}
+
+
+def test_boilerplate_shingles_detects_footer(spark):
+    footer = "all rights reserved"
+    data = [
+        (1, "s1", f"unique one text {footer}"),
+        (2, "s1", f"different words again {footer}"),
+        (3, "s1", f"third doc body {footer}"),
+        (4, "s1", "no footer here at all"),
+        (5, "s2", f"other group page {footer}"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, source string, text string")
+    out = boilerplate_shingles(df, group_col="source", n=3,
+                               min_docs=3, min_ratio=0.5).collect()
+    assert [(r.source, r.shingle, r.n_docs, r.ratio) for r in out] == [
+        ("s1", footer, 3, 0.75)
+    ]
+
+
+def test_registrable_domain_rules(spark):
+    from giraph_spark.corpus import registrable_domain
+
+    cases = [
+        ("WWW.Blog.Example.CO.UK:443", "example.co.uk"),
+        ("a.b.c.example.com", "example.com"),
+        ("www.example.org", "example.org"),
+        ("example.net:8080", "example.net"),
+        ("localhost", "localhost"),
+        ("shop.site9.example", "site9.example"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = dict(
+        df.select("host", registrable_domain(F.col("host")).alias("d")).collect()
+    )
+    assert got == {h: d for h, d in cases}
