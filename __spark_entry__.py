@@ -913,6 +913,51 @@ def _ppr_sql(iters: int, teleport: float = 0.15) -> str:
     )
 
 
+def _ppr_batch_sql(iters: int, n_seeds: int = 4, teleport: float = 0.15) -> str:
+    """Multi-seed unroll of _ppr_sql: state keyed by (seed, id), the
+    seed set = the n_seeds smallest vertex ids (matches q_ppr_batch)."""
+    t = teleport
+    parts = [
+        _GRAPH,
+        "deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src)",
+        f"seeds AS MATERIALIZED (SELECT id AS seed FROM verts ORDER BY id LIMIT {n_seeds})",
+        "r0 AS MATERIALIZED (SELECT s.seed, v.id, "
+        "CASE WHEN v.id = s.seed THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rank "
+        "FROM verts v CROSS JOIN seeds s)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""k{k} AS MATERIALIZED (
+  SELECT r.seed,
+         coalesce(sum(CASE WHEN d.src IS NULL THEN r.rank END), 0.0) AS sink_sum
+  FROM r{k} r LEFT JOIN deg d ON d.src = r.id GROUP BY r.seed
+)"""
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT r.seed, e.dst AS id, sum(r.rank / d.outdeg) AS msg
+  FROM edges e JOIN r{k} r ON r.id = e.src JOIN deg d ON d.src = e.src
+  GROUP BY r.seed, e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT v.seed, v.id,
+         {1.0 - t} * coalesce(m.msg, 0.0)
+       + CASE WHEN v.id = v.seed
+              THEN {t} + {1.0 - t} * s.sink_sum ELSE 0.0 END AS rank
+  FROM r{k} v
+  LEFT JOIN m{k} m ON m.seed = v.seed AND m.id = v.id
+  JOIN k{k} s ON s.seed = v.seed
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT seed, id, round(rank, 9) AS rank FROM r{iters}"
+    )
+
+
 def _simhash_sql() -> str:
     votes = ",\n         ".join(
         f"CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{i}"
@@ -2325,6 +2370,26 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched 4-seed PPR (related-pages vectors) — one superstep loop,
+    per-seed slice identical to single-seed personalized_pagerank."""
+    from giraph_spark.algorithms.ppr import ppr_batch
+    from giraph_spark.graph import vertices_from_edges
+
+    e = demo_edges(spark, sf_dir)
+    seeds = [
+        int(r.id)
+        for r in vertices_from_edges(e).orderBy("id").limit(4).collect()
+    ]
+    run = ppr_batch(
+        spark, e, seeds, teleport=0.15, max_supersteps=10,
+        tolerance=None, num_partitions=NP,
+    )
+    return run.vertices.select(
+        "seed", "id", F.round("rank", 9).alias("rank")
+    )
+
+
 def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.algorithms.wcc import component_sizes
 
@@ -3460,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "scc": q_scc,
         "ppr": q_ppr,
+        "ppr_batch": q_ppr_batch,
         "component_sizes": q_component_sizes,
         "largest_component": q_largest_component,
         "mis": q_mis,
@@ -3682,6 +3748,7 @@ FROM documents""",
         "event_rollup": _ROLLUP_SQL,
         "scc": _SCC_SQL,
         "ppr": _ppr_sql(15),
+        "ppr_batch": _ppr_batch_sql(10),
         "mis": _mis_sql(24),
         "matching": _matching_oracle_sql(),
         "redirects": _redirects_sql(),

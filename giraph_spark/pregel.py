@@ -77,7 +77,7 @@ def scatter_to_targets(
 def gather_messages(
     messages: DataFrame,
     aggs: list[tuple[str, str]],
-    key: str = "dst",
+    key: str | list[str] = "dst",
     salt: int | None = None,
 ) -> DataFrame:
     """Combine messages per target vertex: ``groupBy(dst).agg(...)``.
@@ -94,8 +94,9 @@ def gather_messages(
     for col, fn in aggs:
         if fn not in _ASSOCIATIVE:
             raise ValueError(f"gather fn must be associative, got {fn!r} for {col!r}")
+    keys = [key] if isinstance(key, str) else list(key)
     if not salt or salt <= 1:
-        return messages.groupBy(key).agg(
+        return messages.groupBy(*keys).agg(
             *[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs]
         )
     # Deterministic per-row salt: hash the full row CONTENT so a retried /
@@ -107,10 +108,10 @@ def gather_messages(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in messages.columns]), F.lit(salt)),
     )
-    level1 = salted.groupBy(key, "_salt").agg(
+    level1 = salted.groupBy(*keys, "_salt").agg(
         *[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs]
     )
-    return level1.groupBy(key).agg(*[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs])
+    return level1.groupBy(*keys).agg(*[_ASSOCIATIVE[fn](c).alias(c) for c, fn in aggs])
 
 
 def gather_topk_messages(
@@ -150,8 +151,9 @@ def gather_topk_messages(
             arr = F.reverse(arr)
         return F.slice(arr, 1, k)
 
+    keys = [key] if isinstance(key, str) else list(key)
     if not salt or salt <= 1:
-        return messages.groupBy(key).agg(
+        return messages.groupBy(*keys).agg(
             topk_of(F.collect_list(msg_col)).alias("topk")
         )
     salted = messages.withColumn(

@@ -989,3 +989,26 @@ def test_crawl_frontier_per_host_cap_and_salt_parity(spark):
             sorted(top, key=lambda r: r.rk)] == [(6, 6, 1), (5, 5, 2), (4, 4, 3)]
     unsalted = crawl_frontier(edges, crawled, salt=None, **kw).collect()
     assert sorted(map(tuple, top)) == sorted(map(tuple, unsalted))
+
+
+def test_ppr_batch_matches_single_seed(spark):
+    from giraph_spark.algorithms.ppr import personalized_pagerank, ppr_batch
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+    )
+    batch = ppr_batch(spark, edges, [0, 3], max_supersteps=8, tolerance=None)
+    got = {(r.seed, r.id): round(r.rank, 9) for r in batch.vertices.collect()}
+    for seed in (0, 3):
+        single = personalized_pagerank(
+            spark, edges, sources=[seed], max_supersteps=8, tolerance=None
+        )
+        for r in single.vertices.collect():
+            assert got[(seed, r.id)] == round(r.rank, 9)
+    # salted gather must be bit-identical (deterministic content salt)
+    salted = ppr_batch(
+        spark, edges, [0, 3], max_supersteps=8, tolerance=None, salt=4
+    )
+    assert {
+        (r.seed, r.id): round(r.rank, 9) for r in salted.vertices.collect()
+    } == got
