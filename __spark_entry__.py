@@ -1255,6 +1255,21 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices
 
 
+def q_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl incremental WCC: converge labels on the first
+    crawl window (src % 10 < 7 edge subset), then warm-start on the full
+    graph from those labels (init_components). Final labels are exactly
+    the cold full-graph WCC — the oracle — reached in fewer supersteps
+    because only the delta's diameter must propagate."""
+    e = demo_edges(spark, sf_dir)
+    old = e.where((F.col("src") % 10 < 7) & (F.col("dst") % 10 < 7))
+    first = connected_components(spark, old, num_partitions=NP)
+    run = connected_components(
+        spark, e, init_components=first.vertices, num_partitions=NP
+    )
+    return run.vertices
+
+
 def q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WCC via alternating large-star/small-star contraction — O(log n)
     rounds vs the frontier variant's diameter bound; identical output."""
@@ -3447,6 +3462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_randomwalk": q_pagerank_randomwalk,
         "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
+        "wcc_incremental": q_wcc_incremental,
         "wcc_star": q_wcc_star,
         "lpa": q_lpa,
         "maxlabel": q_maxlabel,
@@ -3558,6 +3574,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_randomwalk": _rw_pagerank_sql(8),
         "pagerank_weighted": _pagerank_weighted_sql(4),
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
+        "wcc_incremental": _minlabel_sql(20, "sym", "least", "component"),
         "wcc_star": _minlabel_sql(20, "sym", "least", "component"),
         "lpa": _lpa_sql(3),
         "maxlabel": _minlabel_sql(30, "edges", "greatest", "label"),

@@ -48,6 +48,7 @@ def connected_components(
     resume: bool = False,
     num_partitions: int | None = None,
     pre_partitioned: bool = False,
+    init_components: DataFrame | None = None,
     verbose: bool = False,
 ) -> PregelRun:
     """Result ``vertices``: (id, component) with component = min id reachable.
@@ -56,6 +57,14 @@ def connected_components(
     ``src`` (bucketed table) — used as-is, no exchange; the caller
     guarantees symmetry if wanted (``symmetrize_input`` is ignored,
     since symmetrizing would destroy the partitioning).
+
+    ``init_components``: warm start from a previous run's (id, component)
+    labels — the incremental path for a GROWING graph (crawl-over-crawl:
+    new pages + new links only, no removals). Valid because old labels
+    are ids of same-component members, so min-propagation still
+    converges to the exact new min id — but in O(diameter of the delta)
+    supersteps instead of O(diameter of the graph). Edge REMOVALS can
+    split components and make old labels stale ids: recompute cold.
     """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -68,9 +77,24 @@ def connected_components(
 
     # superstep 0 of the init piece: min(own id, neighbor ids); vertices are
     # marked changed so everyone scatters once
-    state = vertices_from_edges(e).select(
-        "id", F.col("id").alias("component"), F.lit(True).alias("changed")
-    )
+    verts = vertices_from_edges(e)
+    if init_components is None:
+        state = verts.select(
+            "id", F.col("id").alias("component"), F.lit(True).alias("changed")
+        )
+    else:
+        state = (
+            verts.join(
+                init_components.select("id", F.col("component").alias("_c0")),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.least("id", F.coalesce("_c0", F.col("id"))).alias("component"),
+                F.lit(True).alias("changed"),
+            )
+        )
 
     def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
         frontier = vertices.where("changed").select(

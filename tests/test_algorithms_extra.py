@@ -1012,3 +1012,25 @@ def test_ppr_batch_matches_single_seed(spark):
     assert {
         (r.seed, r.id): round(r.rank, 9) for r in salted.vertices.collect()
     } == got
+
+
+def test_wcc_warm_start_incremental(spark):
+    from giraph_spark.algorithms.wcc import connected_components
+
+    # long chain 0-1-...-9 plus an isolated pair; then ADD a bridge edge
+    old_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21)], "src long, dst long"
+    )
+    cold_old = connected_components(spark, old_edges)
+    new_edges = old_edges.union(
+        spark.createDataFrame([(9, 20)], "src long, dst long")
+    )
+    warm = connected_components(
+        spark, new_edges, init_components=cold_old.vertices
+    )
+    cold = connected_components(spark, new_edges)
+    want = {r.id: r.component for r in cold.vertices.collect()}
+    got = {r.id: r.component for r in warm.vertices.collect()}
+    assert got == want == {i: 0 for i in list(range(10)) + [20, 21]}
+    # warm start converges faster than the cold chain propagation
+    assert warm.supersteps < cold.supersteps
