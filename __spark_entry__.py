@@ -2405,6 +2405,65 @@ def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pseudo_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep BFS pseudo-diameter of the symmetrized demo graph."""
+    from giraph_spark.algorithms.paths import pseudo_diameter
+
+    out = pseudo_diameter(spark, demo_edges(spark, sf_dir),
+                          num_partitions=NP)
+    return out.select(
+        F.col("start_id").cast("long").alias("start_id"),
+        F.col("peripheral_id").cast("long").alias("peripheral_id"),
+        F.col("diameter_lb").cast("long").alias("diameter_lb"),
+    )
+
+
+def _pseudo_diameter_sql(iters: int = 20) -> str:
+    parts = [
+        _GRAPH,
+        _SYM,
+        "b0 AS MATERIALIZED (SELECT (SELECT min(id) FROM verts) AS id, 0::BIGINT AS hops)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""b{k + 1} AS MATERIALIZED (
+  SELECT id, min(hops) AS hops FROM (
+    SELECT id, hops FROM b{k}
+    UNION ALL
+    SELECT e.dst AS id, d.hops + 1 AS hops
+    FROM b{k} d JOIN sym e ON e.src = d.id
+  ) GROUP BY id
+)"""
+        )
+    parts.append(
+        f"far AS MATERIALIZED (SELECT id FROM b{iters} "
+        "ORDER BY hops DESC, id ASC LIMIT 1)"
+    )
+    parts.append(
+        "c0 AS MATERIALIZED (SELECT (SELECT id FROM far) AS id, 0::BIGINT AS hops)"
+    )
+    for k in range(iters):
+        parts.append(
+            f"""c{k + 1} AS MATERIALIZED (
+  SELECT id, min(hops) AS hops FROM (
+    SELECT id, hops FROM c{k}
+    UNION ALL
+    SELECT e.dst AS id, d.hops + 1 AS hops
+    FROM c{k} d JOIN sym e ON e.src = d.id
+  ) GROUP BY id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT (SELECT min(id) FROM verts)::BIGINT AS start_id,
+       (SELECT id FROM far)::BIGINT AS peripheral_id,
+       max(hops)::BIGINT AS diameter_lb
+FROM c{iters}"""
+    )
+
+
 def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.algorithms.wcc import component_sizes
 
@@ -3463,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
         "wcc_incremental": q_wcc_incremental,
+        "pseudo_diameter": q_pseudo_diameter,
         "wcc_star": q_wcc_star,
         "lpa": q_lpa,
         "maxlabel": q_maxlabel,
@@ -3575,6 +3635,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_weighted_sql(4),
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
         "wcc_incremental": _minlabel_sql(20, "sym", "least", "component"),
+        "pseudo_diameter": _pseudo_diameter_sql(20),
         "wcc_star": _minlabel_sql(20, "sym", "least", "component"),
         "lpa": _lpa_sql(3),
         "maxlabel": _minlabel_sql(30, "edges", "greatest", "label"),

@@ -383,3 +383,45 @@ def pointer_jump(
         )
     cuts.forget("state")
     return state.select("id", F.col("ptr").alias("final"), "hops")
+
+
+def pseudo_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    start: int | None = None,
+    symmetrize_input: bool = True,
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Double-sweep BFS pseudo-diameter (Magnien-Latapy-Habib): BFS from
+    ``start`` (default min vertex id), hop to the farthest reached vertex
+    (tie-break min id), BFS again from there; the second sweep's maximum
+    hop count is a lower bound on the diameter that is exact on trees and
+    near-exact on web graphs. Returns ONE row
+    (start_id, peripheral_id, diameter_lb).
+
+    Two frontier BFS runs + two 1-row driver argmax aggregates — the
+    whole thing is O(E * diameter) like a single BFS, vs the O(V * E)
+    all-pairs eccentricity it approximates. Giraph has no diameter op;
+    the sweep reuses the BreadthFirstSearch superstep
+    (``BreadthFirstSearch.java:58-116``) unchanged.
+    """
+    from giraph_spark.graph import symmetrize
+
+    e = symmetrize(edges) if symmetrize_input else edges.select("src", "dst")
+    if start is None:
+        start = int(
+            vertices_from_edges(e).agg(F.min("id").alias("m")).collect()[0]["m"]
+        )
+    first = bfs(spark, e, start, max_supersteps=max_supersteps,
+                num_partitions=num_partitions)
+    far = first.vertices.where(F.col("hops") >= 0).agg(
+        F.expr("max_by(id, struct(hops, -id))").alias("id")
+    ).collect()[0]["id"]
+    second = bfs(spark, e, int(far), max_supersteps=max_supersteps,
+                 num_partitions=num_partitions)
+    return second.vertices.agg(
+        F.lit(int(start)).alias("start_id"),
+        F.lit(int(far)).alias("peripheral_id"),
+        F.max("hops").alias("diameter_lb"),
+    )

@@ -1034,3 +1034,20 @@ def test_wcc_warm_start_incremental(spark):
     assert got == want == {i: 0 for i in list(range(10)) + [20, 21]}
     # warm start converges faster than the cold chain propagation
     assert warm.supersteps < cold.supersteps
+
+
+def test_pseudo_diameter_path_graph(spark):
+    from giraph_spark.algorithms.paths import pseudo_diameter
+
+    # path 0-1-2-3-4: start=0 (an endpoint), double sweep finds exact 4
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    r = pseudo_diameter(spark, path).collect()[0]
+    assert (r.start_id, r.peripheral_id, r.diameter_lb) == (0, 4, 4)
+    # star 0-{1..5}: diameter 2, start=0 center -> far=1 -> lb exact 2
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = pseudo_diameter(spark, star).collect()[0]
+    assert (r.start_id, r.peripheral_id, r.diameter_lb) == (0, 1, 2)
