@@ -2959,6 +2959,31 @@ FROM shared JOIN sizes s ON s.doc_id = shared.doc_a
 WHERE round(inter * 1.0 / s.sz, 6) >= 0.2"""
 
 
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-pair PMI by document co-presence over the documents table
+    (collocation mining; >= 20 co-occurrence docs)."""
+    from giraph_spark.text import pmi_pairs
+
+    return pmi_pairs(_docs(spark, sf_dir), min_pair_docs=20)
+
+
+_PMI_SQL = """WITH dt AS MATERIALIZED (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tf AS (SELECT token, count(*) AS df FROM dt GROUP BY token),
+pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, count(*)::BIGINT AS n_ab
+  FROM dt a JOIN dt b ON b.doc_id = a.doc_id AND a.token < b.token
+  GROUP BY 1, 2 HAVING count(*) >= 20)
+SELECT tok_a, tok_b, n_ab,
+       round(ln((n_ab * (SELECT n_docs FROM n))
+                / (ta.df * tb.df * 1.0)), 6) AS pmi
+FROM pairs
+JOIN tf ta ON ta.token = tok_a
+JOIN tf tb ON tb.token = tok_b"""
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pay-level-domain rollup of the messy-host generator: hosts per
     registrable domain (www/port/case stripped, two-level suffixes)."""
@@ -3622,6 +3647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "containment": q_containment,
         "url_domains": q_url_domains,
+        "pmi": q_pmi,
         "corpus_host_delta": q_corpus_host_delta,
     }
 
@@ -3844,6 +3870,7 @@ FROM documents""",
         "boilerplate": _BOILERPLATE_SQL,
         "containment": _CONTAINMENT_SQL,
         "url_domains": _url_domains_sql(),
+        "pmi": _PMI_SQL,
         "corpus_host_delta": _corpus_host_delta_sql(_CORPUS_PATH, _CORPUS_N),
         "component_sizes": (
             "WITH "

@@ -332,3 +332,61 @@ def boilerplate_shingles(
         .where((F.col("n_docs") >= min_docs) & (F.col("ratio") >= min_ratio))
         .select(F.col("grp").alias(group_col), "shingle", "n_docs", "ratio")
     )
+
+
+def pmi_pairs(
+    docs: DataFrame,
+    min_pair_docs: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs by document
+    co-presence: pmi(a,b) = ln(P(a,b) / (P(a) P(b))) with probabilities
+    over documents. The corpus-statistics op behind collocation mining
+    and topic drift checks. Returns (tok_a, tok_b, n_ab, pmi) for
+    unordered pairs (tok_a < tok_b) co-present in >= ``min_pair_docs``
+    documents; pmi is rounded to 6 decimals from the exact integer
+    counts, so any ANSI engine replays it.
+
+    Scale shape: the pair join is per-document (sum over docs of
+    distinct-tokens^2) — bounded by document length, never corpus-
+    quadratic; ``max_df`` additionally drops ubiquitous tokens the way
+    :func:`jaccard_pairs` does. Counts are two map-side-combined
+    groupBys; the total-document count rides in as a broadcast 1-row
+    literal, not a driver constant.
+    """
+    dt = tokenize(docs).select("doc_id", "token").distinct()
+    if max_df is not None:
+        dfc = dt.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+        dt = dt.join(dfc.where(F.col("_df") <= max_df), "token").select(
+            "doc_id", "token"
+        )
+    n_docs = docs.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    tf = dt.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    a = dt.select("doc_id", F.col("token").alias("tok_a"))
+    b = dt.select("doc_id", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_docs)
+    )
+    return (
+        pairs.join(tf.select(F.col("token").alias("tok_a"), F.col("df").alias("_dfa")), "tok_a")
+        .join(tf.select(F.col("token").alias("tok_b"), F.col("df").alias("_dfb")), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("_n"))
+                    / (F.col("_dfa") * F.col("_dfb")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -27,6 +27,7 @@ from giraph_spark.dedup import (
 from giraph_spark.embeddings import cosine_topk, ivf_assign, ivf_topk
 from giraph_spark.text import (
     boilerplate_shingles,
+    pmi_pairs,
     fingerprints,
     quality_scores,
     shingles,
@@ -534,3 +535,20 @@ def test_registrable_domain_rules(spark):
         df.select("host", registrable_domain(F.col("host")).alias("d")).collect()
     )
     assert got == {h: d for h, d in cases}
+
+
+def test_pmi_pairs_matches_python(spark):
+    import math
+
+    data = [
+        (1, "a b"), (2, "a b"), (3, "a b c"), (4, "a c"), (5, "c d"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {(r.tok_a, r.tok_b): (r.n_ab, r.pmi)
+           for r in pmi_pairs(df, min_pair_docs=2).collect()}
+    # df: a=4 b=3 c=3 d=1, N=5; pairs: (a,b)=3 (a,c)=2 (b,c)=1 (c,d)=1
+    want = {
+        ("a", "b"): (3, round(math.log(3 * 5 / (4 * 3)), 6)),
+        ("a", "c"): (2, round(math.log(2 * 5 / (4 * 3)), 6)),
+    }
+    assert got == want
