@@ -220,6 +220,45 @@ def _lpa_parts(iters: int) -> list[str]:
     return parts
 
 
+def _lpa_weighted_sql(iters: int) -> str:
+    """LPA with integer edge-weight votes over the weighted symmetric
+    closure (max weight per pair, matching symmetrize_weighted)."""
+    parts = [
+        _GRAPH,
+        """wsym AS MATERIALIZED (
+  SELECT src, dst, max(w)::BIGINT AS w FROM (
+    SELECT src, dst, ((src * 7 + dst * 13) % 3 + 1) AS w FROM edges
+    UNION ALL
+    SELECT dst AS src, src AS dst, ((src * 7 + dst * 13) % 3 + 1) AS w FROM edges
+  ) GROUP BY src, dst)""",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT e.dst, l.label, sum(e.w) AS cnt
+  FROM wsym e JOIN l{k} l ON l.id = e.src
+  GROUP BY e.dst, l.label
+)"""
+        )
+        parts.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT dst, label,
+         row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+  FROM c{k}
+)"""
+        )
+        parts.append(
+            f"""l{k + 1} AS MATERIALIZED (
+  SELECT v.id, coalesce(m.label, v.label) AS label
+  FROM l{k} v LEFT JOIN (SELECT dst, label FROM w{k} WHERE rn = 1) m ON m.dst = v.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM l{iters}"
+    )
+
+
 def _lpa_sql(iters: int) -> str:
     return (
         "WITH " + ",\n".join(_lpa_parts(iters)) + f"\nSELECT id, label FROM l{iters}"
@@ -1276,6 +1315,15 @@ def q_wcc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from giraph_spark.algorithms.wcc import connected_components_star
 
     run = connected_components_star(spark, demo_edges(spark, sf_dir), num_partitions=NP)
+    return run.vertices
+
+
+def q_lpa_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA with integer edge-weight votes (host-graph n_links case)."""
+    run = label_propagation(
+        spark, with_weight(demo_edges(spark, sf_dir)), max_supersteps=3,
+        weight_col="weight", num_partitions=NP,
+    )
     return run.vertices
 
 
@@ -3550,6 +3598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudo_diameter": q_pseudo_diameter,
         "wcc_star": q_wcc_star,
         "lpa": q_lpa,
+        "lpa_weighted": q_lpa_weighted,
         "maxlabel": q_maxlabel,
         "triangles": q_triangles,
         "triangle_global": q_triangle_global,
@@ -3664,6 +3713,7 @@ def oracle_sql() -> dict[str, str]:
         "pseudo_diameter": _pseudo_diameter_sql(20),
         "wcc_star": _minlabel_sql(20, "sym", "least", "component"),
         "lpa": _lpa_sql(3),
+        "lpa_weighted": _lpa_weighted_sql(3),
         "maxlabel": _minlabel_sql(30, "edges", "greatest", "label"),
         "triangles": f"""WITH {_GRAPH},
 {_SYM},

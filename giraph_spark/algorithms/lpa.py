@@ -43,6 +43,7 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    weight_col: str | None = None,
     verbose: bool = False,
 ) -> PregelRun:
     """Community LPA; result ``vertices``: (id, label).
@@ -51,22 +52,48 @@ def label_propagation(
     neighbors (ties -> smallest label); vertices with no in-neighbors keep
     their label. Synchronous (all updates based on the previous round),
     so results are deterministic and partitioning-invariant.
+
+    ``weight_col``: weighted votes — each neighbor's label counts its
+    edge weight instead of 1 (the host-graph case, where ``n_links`` is
+    the natural vote strength). Weights must be INTEGERS: the argmax
+    tie-break is over exact vote sums, and integer sums are associative
+    regardless of combine order, so weighted runs stay deterministic
+    and oracle-replayable (float votes would make ties order-dependent).
+    With ``symmetrize_input`` the weighted closure keeps max weight per
+    pair (``symmetrize_weighted``, PrepareGraphPieces.java:202-277).
     """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    e = symmetrize(edges) if symmetrize_input else edges.select("src", "dst")
+    if weight_col is not None:
+        from giraph_spark.graph import symmetrize_weighted
+
+        e = (
+            symmetrize_weighted(edges, weight_col)
+            if symmetrize_input
+            else edges.select("src", "dst", weight_col)
+        )
+        e = e.select("src", "dst", F.col(weight_col).cast("long").alias("_w"))
+    else:
+        e = symmetrize(edges) if symmetrize_input else edges.select("src", "dst")
     e = e.repartition(num_partitions, "src").persist()
 
     state = vertices_from_edges(e).select("id", F.col("id").alias("label"))
 
     def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
-        msgs = e.join(
+        joined = e.join(
             vertices.select(F.col("id").alias("src"), "label").hint("shuffle_hash"),
             "src",
-        ).select("dst", "label")
+        )
         # two-stage mode: count per (dst, label) — map-side combined — then
         # argmax per dst with deterministic tie-break to the smaller label
-        counts = msgs.groupBy("dst", "label").agg(F.count(F.lit(1)).alias("cnt"))
+        if weight_col is not None:
+            counts = joined.select("dst", "label", "_w").groupBy(
+                "dst", "label"
+            ).agg(F.sum("_w").alias("cnt"))
+        else:
+            counts = joined.select("dst", "label").groupBy("dst", "label").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
         mode = counts.groupBy("dst").agg(
             F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
         )

@@ -1051,3 +1051,18 @@ def test_pseudo_diameter_path_graph(spark):
     )
     r = pseudo_diameter(spark, star).collect()[0]
     assert (r.start_id, r.peripheral_id, r.diameter_lb) == (0, 1, 2)
+
+
+def test_lpa_weighted_votes(spark):
+    from giraph_spark.algorithms.lpa import label_propagation
+
+    # vertex 2 has neighbors 0 (weight 5) and 1 (weight 1): the weighted
+    # vote adopts 0's label even though plain LPA would tie-break on count
+    edges = spark.createDataFrame(
+        [(0, 2, 5), (1, 2, 1)], "src long, dst long, weight long"
+    )
+    run = label_propagation(
+        spark, edges, max_supersteps=1, weight_col="weight"
+    )
+    got = {r.id: r.label for r in run.vertices.collect()}
+    assert got[2] == 0
