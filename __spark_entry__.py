@@ -588,7 +588,7 @@ def _rw_pagerank_sql(iters: int, teleport: float = 0.15) -> str:
     )
 
 
-def _kmeans_assign_sql(k: int, iters: int, seed: int) -> str:
+def _kmeans_assign_sql(k: int, iters: int, seed: int, final: str | None = None) -> str:
     """Replay kmeans_fit + final ivf_assign: deterministic init (portable
     priority), per-iteration argmax on 6dp-rounded cosine with centroid-id
     tie-break, element-wise means, empty cells keep their centroid."""
@@ -637,12 +637,35 @@ def _kmeans_assign_sql(k: int, iters: int, seed: int) -> str:
     parts.append(
         f"cn{iters} AS MATERIALIZED (SELECT centroid_id, sqrt(sum(v*v)) AS nrm FROM c{iters} GROUP BY centroid_id)"
     )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + f"""
+    if final is None:
+        final = f"""
 SELECT vec_id, centroid_id::BIGINT AS centroid_id, cosine FROM {assign(iters)} q"""
-    )
+    else:
+        final = final.replace("__ASSIGN__", assign(iters))
+    return "WITH " + ",\n".join(parts) + final
+
+
+def _semdedup_sql(k: int, iters: int, seed: int, threshold: float) -> str:
+    """kmeans assign + within-cell pairwise cosine + min-id keep rule —
+    replays embeddings.semdedup exactly."""
+    final = f""",
+asgn AS MATERIALIZED __ASSIGN__,
+dots AS MATERIALIZED (
+  SELECT aa.vec_id AS id_a, bb.vec_id AS id_b, sum(ua.v * ub.v) AS dot
+  FROM asgn aa
+  JOIN asgn bb ON bb.centroid_id = aa.centroid_id AND bb.vec_id > aa.vec_id
+  JOIN u ua ON ua.vec_id = aa.vec_id
+  JOIN u ub ON ub.vec_id = bb.vec_id AND ub.pos = ua.pos
+  GROUP BY aa.vec_id, bb.vec_id),
+drp AS (
+  SELECT DISTINCT id_b AS vec_id FROM dots
+  JOIN norms na ON na.vec_id = dots.id_a
+  JOIN norms nb ON nb.vec_id = dots.id_b
+  WHERE round(dot / (na.nrm * nb.nrm), 6) >= {threshold})
+SELECT a.vec_id, a.centroid_id::BIGINT AS centroid_id,
+       (d.vec_id IS NULL) AS keep
+FROM asgn a LEFT JOIN drp d ON d.vec_id = a.vec_id"""
+    return _kmeans_assign_sql(k, iters, seed, final=final)
 
 
 def _pq_sql(
@@ -2301,6 +2324,17 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: k-means cells + within-cell cosine +
+    min-id keep rule. Threshold 0.4 because the synthetic embeddings are
+    near-orthogonal (real corpora use ~0.95)."""
+    from giraph_spark.embeddings import semdedup
+
+    return semdedup(
+        _emb(spark, sf_dir), k=8, threshold=0.4, iters=4, seed=7
+    )
+
+
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes: 4 subspaces x 4 centroids trained by
     the deterministic per-subspace k-means, one (subspace, code) row per
@@ -3663,6 +3697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,
         "ivf_topk": q_ivf_topk,
         "kmeans_ivf": q_kmeans_ivf,
+        "semdedup": q_semdedup,
         "pq_encode": q_pq_encode,
         "pq_topk": q_pq_topk,
         "cosine_near_dup": q_cosine_near_dup,
@@ -3883,6 +3918,7 @@ SELECT rank::BIGINT AS rank, id, neighbor_id FROM r WHERE rank <= 3""",
         "ivf_assign": _IVF_SQL,
         "ivf_topk": _ANN_SQL,
         "kmeans_ivf": _kmeans_assign_sql(8, 4, 7),
+        "semdedup": _semdedup_sql(8, 4, 7, 0.4),
         "pq_encode": _pq_encode_sql(2),
         "pq_topk": _pq_topk_sql(2, 5, 2),
         "cosine_near_dup": _COSINE_PAIRS_SQL,

@@ -528,3 +528,63 @@ def pq_topk(
         .select("query_id", F.col("rank").cast("long").alias("rank"),
                 "neighbor_id", "score")
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of
+    an embedded corpus — k-means-cluster the embeddings, compare ONLY
+    within-cluster pairs, and drop every vector that has a same-cell
+    neighbor with cosine >= ``threshold`` and a smaller id (the kept row
+    is the min-id representative; one deterministic pass, no transitive
+    closure). Returns (vec_id, centroid_id, keep).
+
+    Scale shape: the quadratic compare is confined to k-means cells —
+    O(sum over cells of |cell|^2) instead of corpus^2, and cells are
+    balanced by the trained centroids (:func:`kmeans_fit`, portable
+    deterministic init). At 100 TB: k grows with corpus size so cells
+    stay bounded (~sqrt scaling), and each cell's pair join is an
+    ordinary shuffle-hash join on centroid_id. Cosines are rounded to
+    6 dp before thresholding for cross-engine replay.
+    """
+    cents = kmeans_fit(
+        vectors, k=k, iters=iters, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    asg = ivf_assign(vectors, cents, id_col=id_col, vec_col=vec_col).select(
+        id_col, "centroid_id"
+    )
+    av = asg.join(vectors.select(id_col, vec_col), id_col)
+    a = av.select(
+        F.col(id_col).alias("id_a"), "centroid_id", F.col(vec_col).alias("_va")
+    )
+    b = av.select(
+        F.col(id_col).alias("id_b"), "centroid_id", F.col(vec_col).alias("_vb")
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+                6,
+            ),
+        )
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_drop", F.lit(True))
+    )
+    return asg.join(dropped, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        (~F.coalesce("_drop", F.lit(False))).alias("keep"),
+    )

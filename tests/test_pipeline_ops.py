@@ -552,3 +552,23 @@ def test_pmi_pairs_matches_python(spark):
         ("a", "c"): (2, round(math.log(2 * 5 / (4 * 3)), 6)),
     }
     assert got == want
+
+
+def test_semdedup_drops_near_identical(spark):
+    from giraph_spark.embeddings import semdedup
+
+    # 1 and 2 identical direction; 3 scaled copy of 1 (same cosine=1);
+    # 10, 11 orthogonal singletons
+    data = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [2.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.keep
+           for r in semdedup(df, k=3, threshold=0.99, iters=2).collect()}
+    # min-id representative 1 kept, its duplicates 2 and 3 dropped
+    assert out[1] and not out[2] and not out[3]
+    assert out[10] and out[11]
