@@ -936,6 +936,15 @@ WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
 GROUP BY r1.a"""
 
 
+def _top_pages_per_host_sql(iters: int = 5) -> str:
+    base = _pagerank_sql(iters)
+    return f"""SELECT id, host, rank, rk::BIGINT AS rk FROM (
+  SELECT id, id % 64 AS host, rank,
+         row_number() OVER (PARTITION BY id % 64
+                            ORDER BY rank DESC, id ASC) AS rk
+  FROM ({base}) t) WHERE rk <= 3"""
+
+
 def _ppr_sql(iters: int, teleport: float = 0.15) -> str:
     t = teleport
     parts = [
@@ -1269,6 +1278,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, demo_edges(spark, sf_dir), max_supersteps=5, num_partitions=NP
     )
     return run.vertices.select("id", F.round("rank", 7).alias("rank"))
+
+
+def q_top_pages_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed ranking pipeline: PageRank -> host bucket (id % 64) ->
+    skew-safe two-level top-3 per host (grouped_topk) — the per-site
+    'best pages' serving table a search/crawl stack materializes."""
+    from giraph_spark.graph import grouped_topk
+
+    run = pagerank(
+        spark, demo_edges(spark, sf_dir), max_supersteps=5, num_partitions=NP
+    )
+    ranked = run.vertices.select(
+        "id", (F.col("id") % 64).alias("host"), F.round("rank", 7).alias("rank")
+    )
+    return grouped_topk(
+        ranked, ["host"], [F.desc("rank"), F.asc("id")], 3,
+        salt=8, salt_on="id",
+    ).select("id", "host", "rank", F.col("rk").cast("long").alias("rk"))
 
 
 def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3623,6 +3650,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": q_pagerank,
+        "top_pages_per_host": q_top_pages_per_host,
         "pagerank_bucketed": q_pagerank_bucketed,
         "pagerank_salted": q_pagerank_salted,
         "pagerank_randomwalk": q_pagerank_randomwalk,
@@ -3739,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(5),
+        "top_pages_per_host": _top_pages_per_host_sql(5),
         "pagerank_bucketed": _pagerank_sql(5),
         "pagerank_salted": _pagerank_sql(5),
         "pagerank_randomwalk": _rw_pagerank_sql(8),

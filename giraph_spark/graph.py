@@ -339,6 +339,44 @@ def edge_delta(
     return j.select(*ks, status.alias("status"))
 
 
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rk",
+    salt: int | None = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Skew-safe per-group top-k: rank rows within each group by
+    ``order_cols`` and keep the first ``k``, adding ``rank_col``.
+
+    A plain `row_number over (partition by group)` puts every row of a
+    hot group through ONE window task — fatal on power-law groups (a
+    mega-host's millions of URLs). With ``salt``, the window runs TWICE:
+    first per (group, pmod(xxhash64(salt_on), salt)) shard, keeping each
+    shard's top-k, then over the <= salt*k survivors per group. The salt
+    is a deterministic content hash (retry-safe); ``salt_on`` defaults
+    to the first order column's underlying column name when it is a
+    plain column, else pass it explicitly. ``order_cols`` must be a
+    TOTAL order (include a unique tie-break) for determinism.
+    """
+    if salt and salt > 1:
+        if salt_on is None:
+            raise ValueError("grouped_topk with salt needs salt_on")
+        shard = F.pmod(F.xxhash64(salt_on), F.lit(salt))
+        w1 = Window.partitionBy(*group_cols, shard).orderBy(*order_cols)
+        df = (
+            df.withColumn("_rk1", F.row_number().over(w1))
+            .where(F.col("_rk1") <= k)
+            .drop("_rk1")
+        )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w2)).where(
+        F.col(rank_col) <= k
+    )
+
+
 def crawl_frontier(
     edges: DataFrame,
     crawled: DataFrame,
@@ -374,18 +412,11 @@ def crawl_frontier(
         .select(F.col("dst").alias("url_id"), "inlinks")
         .withColumn("host", host_col)
     )
-    order = [F.desc("inlinks"), F.asc("url_id")]
-    if salt and salt > 1:
-        shard = F.pmod(F.xxhash64("url_id"), F.lit(salt))
-        w1 = Window.partitionBy("host", shard).orderBy(*order)
-        cand = (
-            cand.withColumn("_rk", F.row_number().over(w1))
-            .where(F.col("_rk") <= per_host_k)
-            .drop("_rk")
-        )
-    w2 = Window.partitionBy("host").orderBy(*order)
-    return (
-        cand.withColumn("rk", F.row_number().over(w2))
-        .where(F.col("rk") <= per_host_k)
-        .select("url_id", "host", "inlinks", "rk")
-    )
+    return grouped_topk(
+        cand,
+        ["host"],
+        [F.desc("inlinks"), F.asc("url_id")],
+        per_host_k,
+        salt=salt,
+        salt_on="url_id",
+    ).select("url_id", "host", "inlinks", "rk")
