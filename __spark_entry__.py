@@ -3093,6 +3093,30 @@ JOIN tf ta ON ta.token = tok_a
 JOIN tf tb ON tb.token = tok_b"""
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TF-IDF signature terms (top-5, skew-safe top-k)."""
+    from giraph_spark.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), group_col="source", k=5)
+
+
+_TFIDF_SQL = """WITH t AS MATERIALIZED (
+  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+tf AS (SELECT source, token, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+gdf AS (SELECT token, count(DISTINCT source) AS gdf FROM t GROUP BY token),
+ng AS (SELECT count(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT source, tf.token, tf,
+         round(tf * ln((SELECT n FROM ng) / (gdf * 1.0)), 6) AS score
+  FROM tf JOIN gdf ON gdf.token = tf.token)
+SELECT source, token, tf, score, rk::BIGINT AS rk FROM (
+  SELECT source, token, tf, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, token ASC) AS rk
+  FROM scored) WHERE rk <= 5"""
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pay-level-domain rollup of the messy-host generator: hosts per
     registrable domain (www/port/case stripped, two-level suffixes)."""
@@ -3760,6 +3784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "url_domains": q_url_domains,
         "pmi": q_pmi,
+        "tfidf": q_tfidf,
         "corpus_host_delta": q_corpus_host_delta,
     }
 
@@ -3986,6 +4011,7 @@ FROM documents""",
         "containment": _CONTAINMENT_SQL,
         "url_domains": _url_domains_sql(),
         "pmi": _PMI_SQL,
+        "tfidf": _TFIDF_SQL,
         "corpus_host_delta": _corpus_host_delta_sql(_CORPUS_PATH, _CORPUS_N),
         "component_sizes": (
             "WITH "

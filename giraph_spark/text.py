@@ -390,3 +390,61 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    salt: int | None = 8,
+) -> DataFrame:
+    """Signature terms per group (host / source): TF-IDF with TF = raw
+    term occurrences in the group and IDF = ln(N_groups / groups
+    containing the term), top ``k`` terms per group (ties -> lexical).
+    The 'what is this domain about' fingerprint a corpus curation
+    pipeline uses for topic balancing. Returns (group, token, tf,
+    score) with score rounded to 6 decimals from exact integer counts.
+
+    Scale shape: two map-side-combined groupBys (term counts, group
+    doc-frequency) + a broadcast 1-row group total; the per-group top-k
+    is the skew-safe two-level :func:`giraph_spark.graph.grouped_topk`.
+    """
+    from giraph_spark.graph import grouped_topk
+
+    t = tokenize(docs).join(
+        docs.select("doc_id", F.col(group_col).alias("grp")), "doc_id"
+    )
+    tf = t.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("tf"))
+    gdf = (
+        t.select("grp", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_gdf"))
+    )
+    n_groups = docs.select(F.col(group_col).alias("grp")).distinct().agg(
+        F.count(F.lit(1)).alias("_ng")
+    )
+    scored = (
+        tf.join(gdf, "token")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "grp",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("_ng") / F.col("_gdf").cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    return grouped_topk(
+        scored,
+        ["grp"],
+        [F.desc("score"), F.asc("token")],
+        k,
+        salt=salt,
+        salt_on="token",
+    ).select(
+        F.col("grp").alias(group_col), "token", "tf", "score",
+        F.col("rk").cast("long").alias("rk"),
+    )

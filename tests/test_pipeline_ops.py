@@ -572,3 +572,24 @@ def test_semdedup_drops_near_identical(spark):
     # min-id representative 1 kept, its duplicates 2 and 3 dropped
     assert out[1] and not out[2] and not out[3]
     assert out[10] and out[11]
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from giraph_spark.text import tfidf_top_terms
+
+    data = [
+        (1, "g1", "apple apple shared"),
+        (2, "g1", "shared"),
+        (3, "g2", "banana shared"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, source string, text string")
+    got = {(r.source, r.token): (r.tf, r.score, r.rk)
+           for r in tfidf_top_terms(df, k=2).collect()}
+    ln2 = round(2 * math.log(2 / 1), 6)
+    ln1 = round(1 * math.log(2 / 1), 6)
+    # 'shared' appears in both groups -> idf ln(2/2)=0, never outranks
+    assert got[("g1", "apple")] == (2, ln2, 1)
+    assert got[("g2", "banana")] == (1, ln1, 1)
+    assert got[("g1", "shared")][2] == 2 and got[("g1", "shared")][1] == 0.0
