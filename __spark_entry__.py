@@ -945,6 +945,24 @@ def _top_pages_per_host_sql(iters: int = 5) -> str:
   FROM ({base}) t) WHERE rk <= 3"""
 
 
+_TWO_HOP_SQL = f"""WITH {_GRAPH},
+{_SYM},
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+n1 AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS n1 FROM sym GROUP BY src),
+piv AS MATERIALIZED (
+  SELECT s.src AS z, s.dst AS nbr FROM sym s
+  JOIN deg d ON d.src = s.src WHERE d.deg <= 25),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.nbr AS id, b.nbr AS w
+  FROM piv a JOIN piv b ON b.z = a.z AND a.nbr <> b.nbr),
+c2 AS MATERIALIZED (
+  SELECT c.id, count(*)::BIGINT AS n2 FROM cand c
+  LEFT JOIN sym s ON s.src = c.id AND s.dst = c.w
+  WHERE s.src IS NULL GROUP BY c.id)
+SELECT n1.id, n1.n1, coalesce(c2.n2, 0)::BIGINT AS n2
+FROM n1 LEFT JOIN c2 ON c2.id = n1.id"""
+
+
 def _ppr_sql(iters: int, teleport: float = 0.15) -> str:
     t = teleport
     parts = [
@@ -2514,6 +2532,17 @@ def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex friends-of-friends reach (n1, exact-distance-2 n2),
+    pivot degree capped at 25 like the adamic_adar entry."""
+    from giraph_spark.algorithms.linkpred import two_hop_counts
+
+    return two_hop_counts(demo_edges(spark, sf_dir), max_degree=25).select(
+        "id", F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+    )
+
+
 def q_pseudo_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Double-sweep BFS pseudo-diameter of the symmetrized demo graph."""
     from giraph_spark.algorithms.paths import pseudo_diameter
@@ -3682,6 +3711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": q_wcc,
         "wcc_incremental": q_wcc_incremental,
         "pseudo_diameter": q_pseudo_diameter,
+        "two_hop": q_two_hop,
         "wcc_star": q_wcc_star,
         "lpa": q_lpa,
         "lpa_weighted": q_lpa_weighted,
@@ -3800,6 +3830,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
         "wcc_incremental": _minlabel_sql(20, "sym", "least", "component"),
         "pseudo_diameter": _pseudo_diameter_sql(20),
+        "two_hop": _TWO_HOP_SQL,
         "wcc_star": _minlabel_sql(20, "sym", "least", "component"),
         "lpa": _lpa_sql(3),
         "lpa_weighted": _lpa_weighted_sql(3),

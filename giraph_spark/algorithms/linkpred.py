@@ -229,3 +229,48 @@ def bibliographic_coupling(
     shared *target*, so the cap bounds in-degree (a page cited by 50k
     sources couples every pair of them)."""
     return _directed_pairs(edges, "dst", "src", max_in_degree, min_count)
+
+
+def two_hop_counts(
+    edges: DataFrame,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Per-vertex 2-hop neighborhood size over the symmetric graph:
+    (id, n1, n2) with n1 = direct neighbors and n2 = distinct vertices
+    at distance EXACTLY 2 (neither self nor a direct neighbor). The
+    friends-of-friends reach feature (audience estimation, influence
+    features for ranking models).
+
+    Same wedge-join bound as :func:`adamic_adar`: the 2-hop candidates
+    are enumerated by pivoting on the middle vertex z with fan-out
+    deg(z)^2, capped by ``max_degree`` on the PIVOT degree (a mega-hub
+    middleman is dropped — at web scale a hub makes everything
+    2-reachable, so the capped count is the useful signal; the dropped
+    pivots are exactly :func:`skipped_pivots`). Distinct-ification and
+    both counts are map-side-combined groupBys.
+    """
+    adj = _adj_with_degree(edges)
+    sym = adj.select(F.col("z").alias("src"), F.col("nbr").alias("dst"))
+    piv = adj if max_degree is None else adj.where(F.col("deg") <= max_degree)
+    n1 = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    a = piv.select("z", F.col("nbr").alias("u"))
+    b = piv.select("z", F.col("nbr").alias("v"))
+    cand = (
+        a.join(b, "z")
+        .where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("id"), F.col("v").alias("w"))
+        .distinct()
+        .join(
+            sym.select(F.col("src").alias("id"), F.col("dst").alias("w")),
+            ["id", "w"],
+            "left_anti",
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    return (
+        n1.join(cand, "id", "left")
+        .select("id", "n1", F.coalesce("n2", F.lit(0)).alias("n2"))
+    )

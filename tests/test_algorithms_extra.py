@@ -1066,3 +1066,18 @@ def test_lpa_weighted_votes(spark):
     )
     got = {r.id: r.label for r in run.vertices.collect()}
     assert got[2] == 0
+
+
+def test_two_hop_counts_path(spark):
+    from giraph_spark.algorithms.linkpred import two_hop_counts
+
+    # path 0-1-2-3-4 (symmetric closure applied internally)
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    got = {r.id: (r.n1, r.n2) for r in two_hop_counts(path).collect()}
+    assert got == {0: (1, 1), 1: (2, 1), 2: (2, 2), 3: (2, 1), 4: (1, 1)}
+    # pivot cap: dropping vertex 1 as middleman removes 0<->2 reach
+    capped = {r.id: (r.n1, r.n2)
+              for r in two_hop_counts(path, max_degree=1).collect()}
+    assert capped[0] == (1, 0)
