@@ -945,6 +945,55 @@ def _top_pages_per_host_sql(iters: int = 5) -> str:
   FROM ({base}) t) WHERE rk <= 3"""
 
 
+def _landmark_sql(n_seeds: int = 8, iters: int = 15) -> str:
+    """Forward + backward unrolled multi-seed BFS from the n_seeds
+    lowest ids, then min landmark-sum estimate for the fixed pair grid
+    (u = verts ranked 100..103, v = ranked 200..203)."""
+    parts = [
+        _GRAPH,
+        f"lm AS MATERIALIZED (SELECT id FROM verts ORDER BY id LIMIT {n_seeds})",
+        "f0 AS MATERIALIZED (SELECT id AS seed, id, 0::BIGINT AS d FROM lm)",
+        "r0 AS MATERIALIZED (SELECT id AS seed, id, 0::BIGINT AS d FROM lm)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""f{k + 1} AS MATERIALIZED (
+  SELECT seed, id, min(d) AS d FROM (
+    SELECT seed, id, d FROM f{k}
+    UNION ALL
+    SELECT b.seed, e.dst AS id, b.d + 1 AS d
+    FROM f{k} b JOIN edges e ON e.src = b.id
+  ) GROUP BY seed, id
+)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT seed, id, min(d) AS d FROM (
+    SELECT seed, id, d FROM r{k}
+    UNION ALL
+    SELECT b.seed, e.src AS id, b.d + 1 AS d
+    FROM r{k} b JOIN edges e ON e.dst = b.id
+  ) GROUP BY seed, id
+)"""
+        )
+    parts.append(
+        """uv AS MATERIALIZED (
+  SELECT u.id AS u, v.id AS v
+  FROM (SELECT id FROM verts ORDER BY id LIMIT 4 OFFSET 100) u
+  CROSS JOIN (SELECT id FROM verts ORDER BY id LIMIT 4 OFFSET 200) v)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT p.u, p.v, min(r.d + f.d)::BIGINT AS est
+FROM uv p
+LEFT JOIN r{iters} r ON r.id = p.u
+LEFT JOIN f{iters} f ON f.id = p.v AND f.seed = r.seed
+GROUP BY p.u, p.v"""
+    )
+
+
 _TWO_HOP_SQL = f"""WITH {_GRAPH},
 {_SYM},
 deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM sym GROUP BY src),
@@ -2532,6 +2581,23 @@ def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_landmark_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark distance estimates for a fixed 4x4 directed pair grid
+    (landmarks = 8 lowest ids; est = min_L d(u->L)+d(L->v))."""
+    from giraph_spark.algorithms.paths import landmark_distances
+    from giraph_spark.graph import vertices_from_edges
+
+    e = demo_edges(spark, sf_dir)
+    ids = [r.id for r in vertices_from_edges(e).orderBy("id").limit(204).collect()]
+    pairs = spark.createDataFrame(
+        [(u, v) for u in ids[100:104] for v in ids[200:204]],
+        "u long, v long",
+    )
+    return landmark_distances(
+        spark, e, ids[:8], pairs, max_supersteps=15, num_partitions=NP
+    ).select("u", "v", F.col("est").cast("long").alias("est"))
+
+
 def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex friends-of-friends reach (n1, exact-distance-2 n2),
     pivot degree capped at 25 like the adamic_adar entry."""
@@ -3712,6 +3778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc_incremental": q_wcc_incremental,
         "pseudo_diameter": q_pseudo_diameter,
         "two_hop": q_two_hop,
+        "landmark_dist": q_landmark_dist,
         "wcc_star": q_wcc_star,
         "lpa": q_lpa,
         "lpa_weighted": q_lpa_weighted,
@@ -3831,6 +3898,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc_incremental": _minlabel_sql(20, "sym", "least", "component"),
         "pseudo_diameter": _pseudo_diameter_sql(20),
         "two_hop": _TWO_HOP_SQL,
+        "landmark_dist": _landmark_sql(8, 15),
         "wcc_star": _minlabel_sql(20, "sym", "least", "component"),
         "lpa": _lpa_sql(3),
         "lpa_weighted": _lpa_weighted_sql(3),

@@ -425,3 +425,50 @@ def pseudo_diameter(
         F.lit(int(far)).alias("peripheral_id"),
         F.max("hops").alias("diameter_lb"),
     )
+
+
+def landmark_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: list[int],
+    pairs: DataFrame,
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Landmark (2-hop-cover style) distance estimation for arbitrary
+    directed pairs: est(u, v) = min over landmarks L of
+    d(u -> L) + d(L -> v) — an UPPER bound on the true distance, exact
+    whenever a shortest path passes a landmark. The standard web-graph
+    answer to 'how far is page u from page v' when all-pairs BFS is
+    impossible: 2|L| BFS sweeps at build time, O(|L|) lookup per query.
+
+    Build = ONE forward multi-seed BFS over the edges plus ONE backward
+    multi-seed BFS over the reversed edges (both
+    :func:`multi_seed_distances`, frontier-based); the estimate is two
+    hash joins of the queried ``pairs`` (u, v) against the two distance
+    tables and a min-combine — no per-query graph traversal. Pairs with
+    no common reaching/reachable landmark are returned with est = NULL
+    (unknown, not infinite).
+    """
+    fwd = multi_seed_distances(
+        spark, edges, landmarks,
+        max_supersteps=max_supersteps, num_partitions=num_partitions,
+    ).vertices
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    bwd = multi_seed_distances(
+        spark, rev, landmarks,
+        max_supersteps=max_supersteps, num_partitions=num_partitions,
+    ).vertices
+    to_l = bwd.select(
+        F.col("id").alias("u"), "seed", F.col("dist").alias("_du")
+    )
+    from_l = fwd.select(
+        F.col("id").alias("v"), "seed", F.col("dist").alias("_dv")
+    )
+    return (
+        pairs.select("u", "v")
+        .join(to_l, "u", "left")
+        .join(from_l, ["v", "seed"], "left")
+        .groupBy("u", "v")
+        .agg(F.min(F.col("_du") + F.col("_dv")).alias("est"))
+    )

@@ -1081,3 +1081,23 @@ def test_two_hop_counts_path(spark):
     capped = {r.id: (r.n1, r.n2)
               for r in two_hop_counts(path, max_degree=1).collect()}
     assert capped[0] == (1, 0)
+
+
+def test_landmark_distances_bounds(spark):
+    from giraph_spark.algorithms.paths import landmark_distances
+
+    # directed cycle 0->1->2->3->0 plus chord 1->3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)], "src long, dst long"
+    )
+    pairs = spark.createDataFrame([(2, 1), (0, 3)], "u long, v long")
+    got = {(r.u, r.v): r.est
+           for r in landmark_distances(spark, edges, [0], pairs).collect()}
+    # true d(2,1)=3 via 2->3->0->1 and the path passes landmark 0: exact
+    assert got[(2, 1)] == 3
+    # true d(0,3)=2 (0->1->3); via landmark 0: d(0,0)+d(0,3)=0+2: exact
+    assert got[(0, 3)] == 2
+    # landmark 2 only: d(0,2)+d(2,3) = 2+1 = 3 -> upper bound, not exact
+    got2 = {(r.u, r.v): r.est
+            for r in landmark_distances(spark, edges, [2], pairs).collect()}
+    assert got2[(0, 3)] == 3
