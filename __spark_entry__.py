@@ -2511,6 +2511,41 @@ def q_doc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> view -> click -> purchase over the
+    events table (earliest-qualifying-time greedy per step)."""
+    from giraph_spark.pipeline import funnel
+
+    return funnel(
+        _events(spark, sf_dir), ["signup", "view", "click", "purchase"]
+    )
+
+
+_FUNNEL_SQL = """WITH
+s1 AS MATERIALIZED (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'view' GROUP BY e.user_id),
+s3 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id),
+s4 AS MATERIALIZED (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s3 ON s3.user_id = e.user_id AND e.ts > s3.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 1::BIGINT AS step, 'signup' AS event_type, count(*)::BIGINT AS n_users FROM s1
+UNION ALL
+SELECT 2::BIGINT, 'view', count(*)::BIGINT FROM s2
+UNION ALL
+SELECT 3::BIGINT, 'click', count(*)::BIGINT FROM s3
+UNION ALL
+SELECT 4::BIGINT, 'purchase', count(*)::BIGINT FROM s4"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -3856,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "doc_shards": q_doc_shards,
         "sessionize": q_sessionize,
+        "funnel": q_funnel,
         "event_rollup": q_event_rollup,
         "scc": q_scc,
         "ppr": q_ppr,
@@ -4088,6 +4124,7 @@ WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT / 1152921
                    - n_chars) / 50000.0) AS BIGINT) AS shard
 FROM documents""",
         "sessionize": _SESSION_SQL,
+        "funnel": _FUNNEL_SQL,
         "event_rollup": _ROLLUP_SQL,
         "scc": _SCC_SQL,
         "ppr": _ppr_sql(15),

@@ -141,3 +141,54 @@ def pack_shards(
             "long"
         ),
     ).drop("_cum")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-funnel analysis: for the step sequence ``steps`` count the
+    users who performed step k strictly AFTER their earliest qualifying
+    step k-1 (the product-analytics view -> click -> purchase funnel).
+    Returns (step, event_type, n_users) with step 1-based.
+
+    Scale shape: per step ONE filtered hash join against the previous
+    step's (user, t) table plus ONE map-side-combined min-groupBy on
+    user — no windows over the raw event stream, no per-user event
+    collection; total cost is len(steps) bounded shuffles on user_id.
+    The earliest-qualifying-time greedy is the standard funnel
+    semantics: taking min(t) at every step maximizes the remaining
+    window, so it never undercounts completions.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    counts = []
+    reached: DataFrame | None = None
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step).select(
+            F.col(user_col).alias("_u"), F.col(ts_col).alias("_t")
+        )
+        if reached is None:
+            reached = ev.groupBy("_u").agg(F.min("_t").alias("_t"))
+        else:
+            prev = reached.select("_u", F.col("_t").alias("_tp"))
+            reached = (
+                ev.join(prev, "_u")
+                .where(F.col("_t") > F.col("_tp"))
+                .groupBy("_u")
+                .agg(F.min("_t").alias("_t"))
+            )
+        counts.append(
+            reached.agg(
+                F.lit(i + 1).cast("long").alias("step"),
+                F.lit(step).alias("event_type"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out

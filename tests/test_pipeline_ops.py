@@ -593,3 +593,22 @@ def test_tfidf_top_terms(spark):
     assert got[("g1", "apple")] == (2, ln2, 1)
     assert got[("g2", "banana")] == (1, ln1, 1)
     assert got[("g1", "shared")][2] == 2 and got[("g1", "shared")][1] == 0.0
+
+
+def test_funnel_ordering(spark):
+    from datetime import datetime
+
+    from giraph_spark.pipeline import funnel
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1 completes a->b->c in order
+        (1, "a", t(1)), (1, "b", t(2)), (1, "c", t(3)),
+        # user 2 does b BEFORE a: reaches step 1 only
+        (2, "b", t(1)), (2, "a", t(2)),
+        # user 3: a then c (skips b): reaches step 1
+        (3, "a", t(1)), (3, "c", t(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.step: r.n_users for r in funnel(df, ["a", "b", "c"]).collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
