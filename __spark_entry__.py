@@ -2546,6 +2546,24 @@ UNION ALL
 SELECT 4::BIGINT, 'purchase', count(*)::BIGINT FROM s4"""
 
 
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over the events table (first-event
+    day cohort, offsets 0..7, exact integer microsecond arithmetic)."""
+    from giraph_spark.pipeline import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), max_offset=7)
+
+
+_COHORT_SQL = """WITH ue AS MATERIALIZED (
+  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS p FROM events),
+cohort AS (SELECT u, min(p) AS c FROM ue GROUP BY u),
+active AS (SELECT DISTINCT u, p FROM ue)
+SELECT c.c AS cohort, a.p - c.c AS offset, count(*)::BIGINT AS n_users
+FROM active a JOIN cohort c ON c.u = a.u
+WHERE a.p - c.c <= 7
+GROUP BY 1, 2"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -3892,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shards": q_doc_shards,
         "sessionize": q_sessionize,
         "funnel": q_funnel,
+        "cohort": q_cohort,
         "event_rollup": q_event_rollup,
         "scc": q_scc,
         "ppr": q_ppr,
@@ -4125,6 +4144,7 @@ WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT / 1152921
 FROM documents""",
         "sessionize": _SESSION_SQL,
         "funnel": _FUNNEL_SQL,
+        "cohort": _COHORT_SQL,
         "event_rollup": _ROLLUP_SQL,
         "scc": _SCC_SQL,
         "ppr": _ppr_sql(15),

@@ -192,3 +192,42 @@ def funnel(
     for c in counts[1:]:
         out = out.unionAll(c)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_us: int = 86_400_000_000,
+    max_offset: int = 7,
+) -> DataFrame:
+    """Cohort retention matrix: bucket users by the period of their
+    FIRST event (cohort), then count how many are active again k
+    periods later. Returns (cohort, offset, n_users) for
+    0 <= offset <= ``max_offset``; ``unit_us`` is the period length in
+    microseconds (default 1 day). All arithmetic is integer
+    (microseconds // unit), so any ANSI engine replays it exactly.
+
+    Scale shape: one min-groupBy per user (the cohort), one distinct on
+    (user, period), one hash join back on user, one count groupBy —
+    four bounded shuffles on user_id / (cohort, offset), no windows
+    over the raw stream.
+    """
+    ue = events.select(
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_us"),
+    ).select(
+        "_u",
+        # integer division (not float-divide-then-truncate): exact at
+        # any epoch magnitude, replayed verbatim by the SQL oracle
+        F.expr(f"_us div {unit_us}").alias("_p"),
+    )
+    cohort = ue.groupBy("_u").agg(F.min("_p").alias("_c"))
+    active = ue.distinct()
+    return (
+        active.join(cohort, "_u")
+        .select("_c", (F.col("_p") - F.col("_c")).alias("offset"))
+        .where(F.col("offset") <= max_offset)
+        .groupBy(F.col("_c").alias("cohort"), "offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

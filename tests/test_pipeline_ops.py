@@ -612,3 +612,21 @@ def test_funnel_ordering(spark):
     df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
     got = {r.step: r.n_users for r in funnel(df, ["a", "b", "c"]).collect()}
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_cohort_retention_matrix(spark):
+    from datetime import datetime
+
+    from giraph_spark.pipeline import cohort_retention
+
+    d = lambda day, h: datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        (1, d(1, 5)), (1, d(2, 3)),          # cohort day0, back on day1
+        (2, d(1, 9)), (2, d(1, 23)),         # cohort day0, same-day only
+        (3, d(2, 1)), (3, d(4, 1)),          # cohort day1, back offset 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    base = 19723  # 2024-01-01 in days since epoch
+    got = {(r.cohort - base, r.offset): r.n_users
+           for r in cohort_retention(df).collect()}
+    assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
