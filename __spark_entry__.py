@@ -3303,6 +3303,36 @@ d AS (SELECT host,
 SELECT domain, count(DISTINCT host)::BIGINT AS n_hosts FROM d GROUP BY domain"""
 
 
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-host detection on the messy-URL generator: host pairs by
+    canonical-path-set Jaccard (threshold 0.12 — the synthetic paths
+    overlap weakly; real mirror hunting uses ~0.9)."""
+    from giraph_spark.corpus import mirror_hosts
+    from giraph_spark.datasets import MESSY_URL_EXPR
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urls = li.select(F.expr(MESSY_URL_EXPR).alias("url"))
+    return mirror_hosts(urls, threshold=0.12)
+
+
+def _mirror_hosts_sql() -> str:
+    return f"""WITH hp AS MATERIALIZED (
+  SELECT DISTINCT regexp_extract(canonical, '^https?://([^/]+)', 1) AS host,
+         regexp_replace(canonical, '^https?://[^/]+', '') AS path
+  FROM ({_url_canonical_sql()}) t),
+sizes AS (SELECT host, count(*) AS sz FROM hp GROUP BY host),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS n_shared
+  FROM hp a JOIN hp b ON b.path = a.path AND a.host < b.host
+  GROUP BY 1, 2)
+SELECT host_a, host_b, n_shared,
+       round(n_shared / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.host = host_a
+JOIN sizes sb ON sb.host = host_b
+WHERE round(n_shared / (sa.sz + sb.sz - n_shared), 6) >= 0.12"""
+
+
 def q_corpus_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation: per normalized link target, total
     in-links, distinct anchor strings, and the most frequent anchor
@@ -3935,6 +3965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "containment": q_containment,
         "url_domains": q_url_domains,
+        "mirror_hosts": q_mirror_hosts,
         "pmi": q_pmi,
         "tfidf": q_tfidf,
         "corpus_host_delta": q_corpus_host_delta,
@@ -4166,6 +4197,7 @@ FROM documents""",
         "boilerplate": _BOILERPLATE_SQL,
         "containment": _CONTAINMENT_SQL,
         "url_domains": _url_domains_sql(),
+        "mirror_hosts": _mirror_hosts_sql(),
         "pmi": _PMI_SQL,
         "tfidf": _TFIDF_SQL,
         "corpus_host_delta": _corpus_host_delta_sql(_CORPUS_PATH, _CORPUS_N),

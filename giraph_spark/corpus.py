@@ -484,3 +484,65 @@ def domain_graph(pages: DataFrame) -> DataFrame:
         .groupBy("src_domain", "dst_domain")
         .agg(F.sum("n_links").alias("n_links"))
     )
+
+
+def mirror_hosts(
+    urls: DataFrame,
+    threshold: float = 0.5,
+    url_col: str = "url",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Mirror / alias host detection: host pairs whose sets of
+    canonical paths (path + sorted query, :func:`canonicalize_url`)
+    overlap with Jaccard >= ``threshold`` — the crawl-dedup signal for
+    the same site served under several hostnames (www vs bare, CDN
+    aliases, parked mirrors). Returns (host_a, host_b, n_shared,
+    jaccard) for host_a < host_b, jaccard rounded to 6 decimals before
+    the cut.
+
+    Scale shape: the pair enumeration is an inverted-index join on the
+    shared PATH (cost = sum over paths of hosts(path)^2 — the
+    :func:`giraph_spark.dedup.jaccard_pairs` bound, with ``max_df``
+    dropping ubiquitous paths like '/' or '/index'), never
+    all-host-pairs; set sizes and intersections are map-side-combined
+    counts.
+    """
+    canon = urls.select(canonicalize_url(F.col(url_col)).alias("c"))
+    hp = canon.select(
+        F.regexp_extract("c", r"^https?://([^/]+)", 1).alias("host"),
+        F.regexp_replace("c", r"^https?://[^/]+", "").alias("path"),
+    ).distinct()
+    if max_df is not None:
+        pdf = hp.groupBy("path").agg(F.count(F.lit(1)).alias("_df"))
+        hp = hp.join(pdf.where(F.col("_df") <= max_df), "path").select(
+            "host", "path"
+        )
+    sizes = hp.groupBy("host").agg(F.count(F.lit(1)).alias("sz"))
+    a = hp.select(F.col("host").alias("host_a"), "path")
+    b = hp.select(F.col("host").alias("host_b"), "path")
+    shared = (
+        a.join(b, "path")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("host").alias("host_a"), F.col("sz").alias("_sa")),
+            "host_a",
+        )
+        .join(
+            sizes.select(F.col("host").alias("host_b"), F.col("sz").alias("_sb")),
+            "host_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("host_a", "host_b", "n_shared", "jaccard")
+    )

@@ -100,3 +100,27 @@ def test_canonicalize_url_cases(spark):
         for r in df.select("url", canonicalize_url(F.col("url")).alias("c")).collect()
     }
     assert got == cases
+
+
+def test_mirror_hosts_detects_alias(spark):
+    from pyspark.sql import functions as F
+
+    from giraph_spark.corpus import mirror_hosts
+
+    urls = [
+        # a.com and b.com serve identical 3-path sets (mirrors);
+        # c.com shares only 1 of its 3 paths with a.com
+        *[f"https://a.com/p/{i}" for i in range(3)],
+        *[f"https://b.com/p/{i}" for i in range(3)],
+        "https://c.com/p/0", "https://c.com/x", "https://c.com/y",
+        # www-alias canonicalizes to the same host only if url identical;
+        # different-case scheme + utm noise still match after canon
+        "HTTPS://a.com/p/0?utm_source=z",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {(r.host_a, r.host_b): (r.n_shared, r.jaccard)
+           for r in mirror_hosts(df, threshold=0.5).collect()}
+    assert got == {("a.com", "b.com"): (3, 1.0)}
+    low = {(r.host_a, r.host_b)
+           for r in mirror_hosts(df, threshold=0.2).collect()}
+    assert ("a.com", "c.com") in low and ("b.com", "c.com") in low
