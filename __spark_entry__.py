@@ -3265,6 +3265,34 @@ SELECT source, token, tf, score, rk::BIGINT AS rk FROM (
   FROM scored) WHERE rk <= 5"""
 
 
+def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composed keep/drop verdict per document with the
+    first failing rule as reject_reason."""
+    from giraph_spark.text import filter_corpus
+
+    return filter_corpus(_docs(spark, sf_dir))
+
+
+def _filter_corpus_sql() -> str:
+    return f"""WITH q AS ({_QUALITY_SQL}), r AS ({_REPETITION_SQL})
+SELECT q.doc_id,
+       CASE
+         WHEN q.n_tokens < 16 THEN 'too_short'
+         WHEN q.stop_ratio > 0.22 THEN 'stopword_heavy'
+         WHEN q.distinct_ratio < 0.4 THEN 'low_diversity'
+         WHEN q.mean_token_len < 3.3 OR q.mean_token_len > 5.8 THEN 'token_len'
+         WHEN r.repetitive THEN 'repetitive'
+         ELSE NULL END AS reject_reason,
+       (CASE
+         WHEN q.n_tokens < 16 THEN 'too_short'
+         WHEN q.stop_ratio > 0.22 THEN 'stopword_heavy'
+         WHEN q.distinct_ratio < 0.4 THEN 'low_diversity'
+         WHEN q.mean_token_len < 3.3 OR q.mean_token_len > 5.8 THEN 'token_len'
+         WHEN r.repetitive THEN 'repetitive'
+         ELSE NULL END) IS NULL AS keep
+FROM q JOIN r ON r.doc_id = q.doc_id"""
+
+
 def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pay-level-domain rollup of the messy-host generator: hosts per
     registrable domain (www/port/case stripped, two-level suffixes)."""
@@ -3915,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality": q_quality,
+        "filter_corpus": q_filter_corpus,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "repetition": q_repetition,
@@ -4138,6 +4167,7 @@ FROM documents GROUP BY md5(text)""",
        length(text)::BIGINT AS n_chars
 FROM documents""",
         "quality": _QUALITY_SQL,
+        "filter_corpus": _filter_corpus_sql(),
         "lang_id": _lang_id_sql(),
         "fingerprints": f"""WITH {_POS_TOKENS},
 {_SHINGLES3}

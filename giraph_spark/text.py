@@ -448,3 +448,47 @@ def tfidf_top_terms(
         F.col("grp").alias(group_col), "token", "tf", "score",
         F.col("rk").cast("long").alias("rk"),
     )
+
+
+def filter_corpus(
+    docs: DataFrame,
+    min_tokens: int = 16,
+    max_stop_ratio: float = 0.22,
+    min_distinct_ratio: float = 0.4,
+    mean_len_range: tuple[float, float] = (3.3, 5.8),
+) -> DataFrame:
+    """C4/Gopher-style keep/drop gate: compose the quality heuristics
+    (:func:`quality_scores`) and repetition filters
+    (:func:`repetition_stats`) into ONE verdict per document with the
+    FIRST failing rule as ``reject_reason`` (deterministic rule order:
+    too_short -> stopword_heavy -> low_diversity -> token_len ->
+    repetitive; NULL when kept). This is the materialized filter table a
+    training-data pipeline joins against — keep = ``reject_reason IS
+    NULL``.
+
+    Scale shape: both inputs are map-side-combined per-doc aggregates;
+    the composition is a single 1:1 hash join on doc_id and a CASE —
+    nothing beyond the two underlying token scans. All thresholds cut
+    on 6dp-rounded ratios so the verdict replays exactly cross-engine.
+    """
+    lo, hi = mean_len_range
+    q = quality_scores(docs)
+    r = repetition_stats(docs).select("doc_id", "repetitive")
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("stop_ratio") > max_stop_ratio, F.lit("stopword_heavy"))
+        .when(
+            F.col("distinct_ratio") < min_distinct_ratio, F.lit("low_diversity")
+        )
+        .when(
+            (F.col("mean_token_len") < lo) | (F.col("mean_token_len") > hi),
+            F.lit("token_len"),
+        )
+        .when(F.col("repetitive"), F.lit("repetitive"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return q.join(r, "doc_id").select(
+        "doc_id",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )

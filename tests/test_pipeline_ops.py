@@ -630,3 +630,21 @@ def test_cohort_retention_matrix(spark):
     got = {(r.cohort - base, r.offset): r.n_users
            for r in cohort_retention(df).collect()}
     assert got == {(0, 0): 2, (0, 1): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_filter_corpus_reasons(spark):
+    from giraph_spark.text import filter_corpus
+
+    data = [
+        (1, "short text"),                                     # too_short
+        (2, " ".join(f"tok{i:02d}" for i in range(20))),       # kept
+        (3, "the a and of to in is it " * 3),                  # stopword-heavy
+        (4, "spam spam " * 10),                                # low diversity
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r.doc_id: (r.keep, r.reject_reason)
+           for r in filter_corpus(df).collect()}
+    assert got[1] == (False, "too_short")
+    assert got[2] == (True, None)
+    assert got[3][1] == "stopword_heavy"
+    assert got[4][1] == "low_diversity"
