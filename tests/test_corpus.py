@@ -124,3 +124,17 @@ def test_mirror_hosts_detects_alias(spark):
     low = {(r.host_a, r.host_b)
            for r in mirror_hosts(df, threshold=0.2).collect()}
     assert ("a.com", "c.com") in low and ("b.com", "c.com") in low
+
+
+def test_domain_graph_rolls_up_hosts(spark):
+    from giraph_spark.corpus import domain_graph, host_graph, synth_corpus
+
+    pages = synth_corpus(spark, n_pages=300, seed=11, n_sites=5)
+    hg = host_graph(pages)
+    dg = domain_graph(pages)
+    # corpus hosts are 2-label (siteN.example) -> domains == hosts, and
+    # the rollup must conserve total link mass
+    assert dg.agg(F.sum("n_links")).collect()[0][0] == \
+        hg.agg(F.sum("n_links")).collect()[0][0]
+    hosts = {r.src_domain for r in dg.select("src_domain").distinct().collect()}
+    assert hosts <= {f"site{i}.example" for i in range(5)}
