@@ -936,6 +936,20 @@ WHERE EXISTS (SELECT 1 FROM reach r2 WHERE r2.a = r1.b AND r2.b = r1.a)
 GROUP BY r1.a"""
 
 
+def _pagerank_convergence_sql(iters: int = 5) -> str:
+    """Per-iteration L1 residual sum(|r_k - r_{k-1}|) over the same
+    unrolled PageRank recurrence as _pagerank_sql."""
+    base = _pagerank_sql(iters)
+    head = base[: base.rindex("\nSELECT id,")]
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {k + 1}::BIGINT AS superstep,
+       round(sum(abs(a.rank - b.rank)), 6) AS l1
+FROM r{k + 1} a JOIN r{k} b ON b.id = a.id"""
+        for k in range(iters)
+    )
+    return head + "\n" + unions
+
+
 def _top_pages_per_host_sql(iters: int = 5) -> str:
     base = _pagerank_sql(iters)
     return f"""SELECT id, host, rank, rk::BIGINT AS rk FROM (
@@ -1345,6 +1359,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, demo_edges(spark, sf_dir), max_supersteps=5, num_partitions=NP
     )
     return run.vertices.select("id", F.round("rank", 7).alias("rank"))
+
+
+def q_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-superstep convergence metrics (the north-rule's monitored
+    L1 residual): one row (superstep, l1) per PageRank round, read from
+    the engine's superstep history and replayed by the oracle as
+    per-iteration |delta| sums."""
+    run = pagerank(
+        spark, demo_edges(spark, sf_dir), max_supersteps=5, num_partitions=NP
+    )
+    rows = [
+        (i + 1, round(h["l1"], 6))
+        for i, h in enumerate(run.history)
+        if "l1" in h
+    ]
+    return spark.createDataFrame(rows, "superstep long, l1 double")
 
 
 def q_top_pages_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3881,6 +3911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pagerank": q_pagerank,
         "top_pages_per_host": q_top_pages_per_host,
+        "pagerank_convergence": q_pagerank_convergence,
         "pagerank_bucketed": q_pagerank_bucketed,
         "pagerank_salted": q_pagerank_salted,
         "pagerank_randomwalk": q_pagerank_randomwalk,
@@ -4005,6 +4036,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_sql(5),
         "top_pages_per_host": _top_pages_per_host_sql(5),
+        "pagerank_convergence": _pagerank_convergence_sql(5),
         "pagerank_bucketed": _pagerank_sql(5),
         "pagerank_salted": _pagerank_sql(5),
         "pagerank_randomwalk": _rw_pagerank_sql(8),
