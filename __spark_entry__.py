@@ -1441,6 +1441,32 @@ def q_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices
 
 
+def q_wcc_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resumability, driver-gated: run WCC for 3 supersteps
+    with a reliable checkpoint, 'crash', resume from the checkpoint and
+    converge — the final labels must equal the cold-run oracle
+    (TestCheckpointing.java:99-147 semantics)."""
+    import shutil
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="gs_ck_")
+    try:
+        e = demo_edges(spark, sf_dir)
+        connected_components(
+            spark, e, max_supersteps=3, checkpoint_dir=ck,
+            checkpoint_interval=2, num_partitions=NP,
+        )
+        run = connected_components(
+            spark, e, max_supersteps=50, checkpoint_dir=ck,
+            checkpoint_interval=2, resume=True, num_partitions=NP,
+        )
+        out = run.vertices
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return out
+
+
 def q_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-over-crawl incremental WCC: converge labels on the first
     crawl window (src % 10 < 7 edge subset), then warm-start on the full
@@ -3918,6 +3944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
         "wcc_incremental": q_wcc_incremental,
+        "wcc_resumed": q_wcc_resumed,
         "pseudo_diameter": q_pseudo_diameter,
         "two_hop": q_two_hop,
         "landmark_dist": q_landmark_dist,
@@ -4043,6 +4070,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_weighted_sql(4),
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
         "wcc_incremental": _minlabel_sql(20, "sym", "least", "component"),
+        "wcc_resumed": _minlabel_sql(20, "sym", "least", "component"),
         "pseudo_diameter": _pseudo_diameter_sql(20),
         "two_hop": _TWO_HOP_SQL,
         "landmark_dist": _landmark_sql(8, 15),
