@@ -3321,6 +3321,33 @@ SELECT source, token, tf, score, rk::BIGINT AS rk FROM (
   FROM scored) WHERE rk <= 5"""
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance for the fixed query {table, hash, fast}."""
+    from giraph_spark.text import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), ["table", "hash", "fast"])
+
+
+_BM25_SQL = """WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+lens AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+       WHERE token IN ('table', 'hash', 'fast') GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+SELECT tf.doc_id,
+       round(sum(
+         ln(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0)
+         * tf * (1.2 + 1.0)
+         / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (SELECT avgdl FROM stats)))
+       ), 6) AS score
+FROM tf
+JOIN dfreq ON dfreq.token = tf.token
+JOIN lens ON lens.doc_id = tf.doc_id
+GROUP BY tf.doc_id"""
+
+
 def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style composed keep/drop verdict per document with the
     first failing rule as reject_reason."""
@@ -4002,6 +4029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality": q_quality,
         "filter_corpus": q_filter_corpus,
+        "bm25": q_bm25,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "repetition": q_repetition,
@@ -4228,6 +4256,7 @@ FROM documents GROUP BY md5(text)""",
 FROM documents""",
         "quality": _QUALITY_SQL,
         "filter_corpus": _filter_corpus_sql(),
+        "bm25": _BM25_SQL,
         "lang_id": _lang_id_sql(),
         "fingerprints": f"""WITH {_POS_TOKENS},
 {_SHINGLES3}

@@ -492,3 +492,46 @@ def filter_corpus(
         reason.alias("reject_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document for a bag-of-terms query
+    — the classic search-ranking score an anchor-text / page-text index
+    serves. Returns (doc_id, score) for documents matching at least one
+    query term, score rounded to 6 decimals from exact integer tf/df
+    counts (idf is the Robertson +1 form, always positive).
+
+    Scale shape: ONE tokenize scan filtered to the query terms (a tiny
+    isin pushed into the scan), one per-doc tf groupBy, one global df
+    aggregate over that filtered stream, one broadcast of the 1-row
+    (N, avg_len) corpus stats — no joins against the full token stream.
+    """
+    if not terms:
+        raise ValueError("bm25_scores needs at least one query term")
+    t = tokenize(docs)
+    lens = t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    qt = t.where(F.col("token").isin(*terms))
+    tf = qt.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("_avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )

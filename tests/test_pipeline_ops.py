@@ -648,3 +648,23 @@ def test_filter_corpus_reasons(spark):
     assert got[2] == (True, None)
     assert got[3][1] == "stopword_heavy"
     assert got[4][1] == "low_diversity"
+
+
+def test_bm25_ranks_term_density(spark):
+    import math
+
+    from giraph_spark.text import bm25_scores
+
+    data = [
+        (1, "cat cat cat dog"),
+        (2, "cat dog bird fish"),
+        (3, "dog bird fish frog"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r.doc_id: r.score for r in bm25_scores(df, ["cat"]).collect()}
+    assert set(got) == {1, 2}
+    assert got[1] > got[2] > 0
+    # exact value for doc 2: tf=1, df=2, N=3, dl=4, avgdl=4
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    want = round(idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 1.0)), 6)
+    assert got[2] == want
