@@ -645,6 +645,28 @@ SELECT vec_id, centroid_id::BIGINT AS centroid_id, cosine FROM {assign(iters)} q
     return "WITH " + ",\n".join(parts) + final
 
 
+def _lsh_eval_sql() -> str:
+    return f"""WITH lshp AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_MINHASH_SQL}) t1),
+{_POS_TOKENS},
+{_SHINGLES3},
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sz sa ON sa.doc_id = inter.doc_a
+  JOIN sz sb ON sb.doc_id = inter.doc_b
+  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.05),
+nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+nl AS (SELECT count(*)::BIGINT AS n_lsh FROM lshp)
+SELECT n_truth, n_lsh,
+       CASE WHEN n_truth > 0
+            THEN round(n_lsh * 1.0 / n_truth, 6) ELSE NULL END AS recall
+FROM nt, nl"""
+
+
 def _semdedup_sql(k: int, iters: int, seed: int, threshold: float) -> str:
     """kmeans assign + within-cell pairwise cosine + min-id keep rule —
     replays embeddings.semdedup exactly."""
@@ -2371,6 +2393,28 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.05, bands=8, n=3)
 
 
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH quality: exact 3-gram-Jaccard truth set (>=0.05) vs
+    the banded MinHash candidate pipeline — one row (n_truth, n_lsh,
+    recall). LSH verifies candidates exactly, so n_lsh <= n_truth and
+    recall = n_lsh / n_truth (banding is the only loss)."""
+    from giraph_spark.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    truth = jaccard_pairs(docs, threshold=0.05, n=3, max_df=None).select(
+        "doc_a", "doc_b"
+    )
+    lsh = minhash_lsh_pairs(docs, threshold=0.05, bands=8, n=3).select(
+        "doc_a", "doc_b"
+    )
+    n_truth = truth.count()
+    n_lsh = lsh.count()
+    return spark.createDataFrame(
+        [(n_truth, n_lsh, round(n_lsh / n_truth, 6) if n_truth else None)],
+        "n_truth long, n_lsh long, recall double",
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup: MinHash-LSH near-dup pairs -> connected
     components over the dup graph -> every document mapped to the min
@@ -4037,6 +4081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "jaccard_near_dup": q_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "lsh_eval": q_lsh_eval,
         "dedup_clusters": q_dedup_clusters,
         "neighbor_topk": q_neighbor_topk,
         "simhash": q_simhash,
@@ -4263,6 +4308,7 @@ FROM documents""",
 SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "jaccard_near_dup": _JACCARD_SQL,
         "minhash_lsh": _MINHASH_SQL,
+        "lsh_eval": _lsh_eval_sql(),
         "dedup_clusters": _dedup_clusters_sql(4),
         "neighbor_topk": f"""WITH {_GRAPH},
 r AS (
