@@ -3365,6 +3365,24 @@ SELECT source, token, tf, score, rk::BIGINT AS rk FROM (
   FROM scored) WHERE rk <= 5"""
 
 
+def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document (perplexity-style signal)."""
+    from giraph_spark.text import unigram_surprisal
+
+    return unigram_surprisal(_docs(spark, sf_dir))
+
+
+_SURPRISAL_SQL = """WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS c FROM t GROUP BY token),
+g AS (SELECT sum(c) AS t FROM c)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(-sum(ln(c / (SELECT t FROM g))) / count(*), 6) AS surprisal
+FROM t JOIN c USING (token)
+GROUP BY doc_id"""
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance for the fixed query {table, hash, fast}."""
     from giraph_spark.text import bm25_scores
@@ -4074,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "filter_corpus": q_filter_corpus,
         "bm25": q_bm25,
+        "surprisal": q_surprisal,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "repetition": q_repetition,
@@ -4302,6 +4321,7 @@ FROM documents""",
         "quality": _QUALITY_SQL,
         "filter_corpus": _filter_corpus_sql(),
         "bm25": _BM25_SQL,
+        "surprisal": _SURPRISAL_SQL,
         "lang_id": _lang_id_sql(),
         "fingerprints": f"""WITH {_POS_TOKENS},
 {_SHINGLES3}

@@ -535,3 +535,33 @@ def bm25_scores(
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("score"))
     )
+
+
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Perplexity-style quality signal from a corpus unigram LM: per
+    document the mean surprisal -1/n * sum ln(p(token)) under the
+    corpus-wide MLE unigram distribution (p = corpus_count / total).
+    Low = stereotyped/boilerplate text, high = rare-token-heavy (OCR
+    noise, gibberish) — the cheap first-pass stand-in for a trained-LM
+    perplexity filter. Returns (doc_id, n_tokens, surprisal) rounded to
+    6 decimals from exact integer counts.
+
+    Scale shape: one token scan feeding TWO map-side-combined groupBys
+    (corpus counts, per-doc sums) and a broadcast-sized join on token —
+    the unigram table is vocabulary-sized, tiny next to the corpus.
+    """
+    t = tokenize(docs)
+    totals = t.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    grand = totals.agg(F.sum("_c").alias("_t"))
+    return (
+        t.join(F.broadcast(totals), "token")
+        .crossJoin(F.broadcast(grand))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                -F.sum(F.log(F.col("_c") / F.col("_t"))) / F.count(F.lit(1)),
+                6,
+            ).alias("surprisal"),
+        )
+    )

@@ -668,3 +668,22 @@ def test_bm25_ranks_term_density(spark):
     idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
     want = round(idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 1.0)), 6)
     assert got[2] == want
+
+
+def test_unigram_surprisal_orders_rarity(spark):
+    from giraph_spark.text import unigram_surprisal
+
+    # doc 1 = common tokens only; doc 2 contains a hapax 'zyx'
+    data = [
+        (1, "cat cat dog dog"),
+        (2, "cat dog zyx"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.surprisal)
+           for r in unigram_surprisal(df).collect()}
+    import math
+    # corpus counts: cat=3 dog=3 zyx=1, T=7
+    s1 = round(-(2 * math.log(3 / 7) + 2 * math.log(3 / 7)) / 4, 6)
+    s2 = round(-(math.log(3 / 7) * 2 + math.log(1 / 7)) / 3, 6)
+    assert got == {1: (4, s1), 2: (3, s2)}
+    assert got[2][1] > got[1][1]
