@@ -3365,6 +3365,37 @@ SELECT source, token, tf, score, rk::BIGINT AS rk FROM (
   FROM scored) WHERE rk <= 5"""
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-2-style BPE pre-token accounting per document."""
+    from giraph_spark.text import bpe_token_counts
+
+    return bpe_token_counts(_docs(spark, sf_dir))
+
+
+def _bpe_tokens_sql() -> str:
+    from giraph_spark.text import BPE_RE
+
+    pat = BPE_RE.replace("'", "''")
+    return f"""WITH t AS MATERIALIZED (
+  SELECT doc_id, unnest(regexp_extract_all(text, '({pat})', 1)) AS tok
+  FROM documents),
+c AS (
+  SELECT doc_id, tok,
+         CASE WHEN regexp_matches(tok, '^''')
+                OR regexp_matches(tok, '^ ?[a-zA-Z]+$')
+              THEN 'word'
+              WHEN regexp_matches(tok, '^ ?[0-9]+$') THEN 'num'
+              WHEN regexp_matches(tok, '^\\s+$') THEN 'ws'
+              ELSE 'punct' END AS cls
+  FROM t)
+SELECT doc_id, count(*)::BIGINT AS n_bpe_tokens,
+       sum(CASE WHEN cls = 'word' THEN 1 ELSE 0 END)::BIGINT AS n_word,
+       sum(CASE WHEN cls = 'num' THEN 1 ELSE 0 END)::BIGINT AS n_num,
+       sum(CASE WHEN cls = 'punct' THEN 1 ELSE 0 END)::BIGINT AS n_punct,
+       sum(CASE WHEN cls = 'ws' THEN 1 ELSE 0 END)::BIGINT AS n_ws
+FROM c GROUP BY doc_id"""
+
+
 def q_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean unigram surprisal per document (perplexity-style signal)."""
     from giraph_spark.text import unigram_surprisal
@@ -4093,6 +4124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_corpus": q_filter_corpus,
         "bm25": q_bm25,
         "surprisal": q_surprisal,
+        "bpe_tokens": q_bpe_tokens,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "repetition": q_repetition,
@@ -4322,6 +4354,7 @@ FROM documents""",
         "filter_corpus": _filter_corpus_sql(),
         "bm25": _BM25_SQL,
         "surprisal": _SURPRISAL_SQL,
+        "bpe_tokens": _bpe_tokens_sql(),
         "lang_id": _lang_id_sql(),
         "fingerprints": f"""WITH {_POS_TOKENS},
 {_SHINGLES3}

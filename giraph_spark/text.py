@@ -565,3 +565,38 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
             ).alias("surprisal"),
         )
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB): the original's \s+(?!\S) lookahead
+# branch is dropped (RE2 has no lookahead); contractions, space-prefixed
+# word / number / punctuation runs, then whitespace runs.
+BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Tokenizer-aware size accounting: count GPT-2-style pre-tokens
+    per document (the unit a BPE tokenizer splits further), broken out
+    by class. The budget a training pipeline actually packs against —
+    whitespace word counts undercount punctuation-heavy text. Returns
+    (doc_id, n_bpe_tokens, n_word, n_num, n_punct, n_ws).
+
+    One regexp scan per row (JVM codegen), one groupBy — scan-speed at
+    100 TB; the pattern is the disclosed :data:`BPE_RE` subset of the
+    GPT-2 pre-tokenizer (lookahead branch dropped so any RE2-based
+    engine replays it token-for-token).
+    """
+    toks = F.expr(f"regexp_extract_all(text, \"({BPE_RE})\", 1)")
+    t = docs.select("doc_id", F.explode(toks).alias("tok"))
+    is_word = F.col("tok").rlike(r"^ ?[a-zA-Z]+$") | F.col("tok").rlike(r"^'")
+    is_num = F.col("tok").rlike(r"^ ?[0-9]+$")
+    is_ws = F.col("tok").rlike(r"^\s+$")
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bpe_tokens"),
+        F.sum(is_word.cast("long")).alias("n_word"),
+        F.sum(is_num.cast("long")).alias("n_num"),
+        F.sum(
+            (~(is_word | is_num | is_ws)).cast("long")
+        ).alias("n_punct"),
+        F.sum(is_ws.cast("long")).alias("n_ws"),
+    )

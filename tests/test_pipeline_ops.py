@@ -687,3 +687,16 @@ def test_unigram_surprisal_orders_rarity(spark):
     s2 = round(-(math.log(3 / 7) * 2 + math.log(1 / 7)) / 3, 6)
     assert got == {1: (4, s1), 2: (3, s2)}
     assert got[2][1] > got[1][1]
+
+
+def test_bpe_token_counts_classes(spark):
+    from giraph_spark.text import bpe_token_counts
+
+    # "It's 42 AD, really?" -> [It]['s][ 42][ AD][,][ really][?]
+    df = spark.createDataFrame(
+        [(1, "It's 42 AD, really?")], "doc_id long, text string"
+    )
+    r = bpe_token_counts(df).collect()[0]
+    assert (r.n_bpe_tokens, r.n_word, r.n_num, r.n_punct, r.n_ws) == (
+        7, 4, 1, 2, 0
+    )
