@@ -172,3 +172,79 @@ def test_pagerank_partition_count_invariance(spark):
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(1, 4),
+)
+def test_grouped_topk_matches_python(spark, rows, k):
+    from giraph_spark.graph import grouped_topk
+
+    df = spark.createDataFrame(rows, "g long, v long")
+    got = sorted(
+        (r.g, r.v, r.rk)
+        for r in grouped_topk(
+            df, ["g"], [F.desc("v"), F.asc("g")], k, salt=None
+        ).collect()
+    )
+    salted = sorted(
+        (r.g, r.v, r.rk)
+        for r in grouped_topk(
+            df, ["g"], [F.desc("v"), F.asc("g")], k, salt=4, salt_on="v"
+        ).collect()
+    )
+    # python model: per group sort desc, take k (row_number over a
+    # non-total order is tie-ambiguous in v, so compare multisets of v)
+    want = []
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vs in by_g.items():
+        for i, v in enumerate(sorted(vs, reverse=True)[:k], 1):
+            want.append((g, v, i))
+    assert got == sorted(want)
+    assert salted == got
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 6), st.sampled_from("abc"), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_counts_match_python(spark, rows):
+    from datetime import datetime, timedelta
+
+    from giraph_spark.pipeline import funnel
+
+    base = datetime(2024, 1, 1)
+    data = [(u, t, base + timedelta(seconds=s)) for u, t, s in rows]
+    df = spark.createDataFrame(
+        data, "user_id long, event_type string, ts timestamp"
+    )
+    steps = ["a", "b", "c"]
+    got = {r.step: r.n_users for r in funnel(df, steps).collect()}
+
+    def reach(u):
+        evs = sorted((s, t) for uu, t, s in rows if uu == u)
+        depth, t_prev = 0, None
+        for step in steps:
+            cand = [s for s, t in evs if t == step and (t_prev is None or s > t_prev)]
+            if not cand:
+                break
+            t_prev = min(cand)
+            depth += 1
+        return depth
+
+    users = {u for u, _, _ in rows}
+    for i in range(1, 4):
+        want = sum(1 for u in users if reach(u) >= i)
+        assert got.get(i, 0) == want
