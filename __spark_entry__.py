@@ -2141,6 +2141,34 @@ FROM verts v LEFT JOIN (
     )
 
 
+def q_mean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled mean shortest-path length from the 8 lowest-id seeds
+    (shares the multi-seed BFS with harmonic/eccentricity)."""
+    from giraph_spark.algorithms.paths import mean_distance
+
+    e = demo_edges(spark, sf_dir)
+    seeds = [
+        r.id
+        for r in e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+        .orderBy("id")
+        .limit(8)
+        .collect()
+    ]
+    return mean_distance(spark, e, seeds, num_partitions=NP)
+
+
+def _mean_distance_sql(n_seeds: int = 8, iters: int = 25) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_multi_bfs_parts(n_seeds, iters))
+        + f"""
+SELECT count(*)::BIGINT AS n_pairs, round(avg(d), 6) AS mean_dist
+FROM b{iters} WHERE d > 0"""
+    )
+
+
 def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adamic-Adar link prediction: unlinked pairs sharing a common
     neighbor of degree ≤ 25 (the disclosed super-node cap)."""
@@ -4102,6 +4130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
+        "mean_distance": q_mean_distance,
         "eccentricity": q_eccentricity,
         "closeness": q_closeness,
         "modularity": q_modularity,
@@ -4309,6 +4338,7 @@ FROM deg""",
         "contamination": _CONTAMINATION_SQL,
         "assortativity": _ASSORTATIVITY_SQL,
         "harmonic": _harmonic_sql(8, 15),
+        "mean_distance": _mean_distance_sql(8, 15),
         "eccentricity": _eccentricity_sql(8, 15),
         "closeness": _closeness_sql(8, 15),
         "modularity": _modularity_sql(3),

@@ -472,3 +472,25 @@ def landmark_distances(
         .groupBy("u", "v")
         .agg(F.min(F.col("_du") + F.col("_dv")).alias("est"))
     )
+
+
+def mean_distance(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: list[int],
+    max_supersteps: int = 50,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sampled average shortest-path length: mean of d(s, v) over every
+    reached (seed, vertex) pair with d > 0 — the L in the small-world
+    characterization and the standard 'average click distance' estimate
+    for a web graph (one multi-seed BFS, any sample size). Returns ONE
+    row (n_pairs, mean_dist rounded 6dp)."""
+    run = multi_seed_distances(
+        spark, edges, seeds, max_supersteps, num_partitions
+    )
+    d = run.vertices.where(F.col("dist") > 0)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("dist"), 6).alias("mean_dist"),
+    )
