@@ -1430,6 +1430,23 @@ def q_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices.select("id", F.round("rank", 7).alias("rank"))
 
 
+def q_wcc_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WCC reading a SYMMETRIZED bucketed-by-src table with
+    pre_partitioned=True — the exchange-free superstep path for the
+    component algorithm (caller guarantees symmetry, as documented)."""
+    from giraph_spark.graph import symmetrize
+    from giraph_spark.storage import read_bucketed_edges, write_bucketed_edges
+
+    write_bucketed_edges(
+        symmetrize(demo_edges(spark, sf_dir)), "demo_sym_bucketed", buckets=NP
+    )
+    e = read_bucketed_edges(spark, "demo_sym_bucketed")
+    run = connected_components(
+        spark, e, num_partitions=NP, pre_partitioned=True
+    )
+    return run.vertices
+
+
 def q_pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same PageRank through the two-level salted gather (salt=8) — the
     hub-skew path the north rule names; must be value-identical."""
@@ -4093,6 +4110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": q_wcc,
         "wcc_incremental": q_wcc_incremental,
         "wcc_resumed": q_wcc_resumed,
+        "wcc_bucketed": q_wcc_bucketed,
         "pseudo_diameter": q_pseudo_diameter,
         "two_hop": q_two_hop,
         "landmark_dist": q_landmark_dist,
@@ -4224,6 +4242,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
         "wcc_incremental": _minlabel_sql(20, "sym", "least", "component"),
         "wcc_resumed": _minlabel_sql(20, "sym", "least", "component"),
+        "wcc_bucketed": _minlabel_sql(20, "sym", "least", "component"),
         "pseudo_diameter": _pseudo_diameter_sql(20),
         "two_hop": _TWO_HOP_SQL,
         "landmark_dist": _landmark_sql(8, 15),
