@@ -2158,6 +2158,40 @@ FROM verts v LEFT JOIN (
     )
 
 
+def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global graph profile: |V|, |E|, density, max out-degree,
+    sink/source counts — the dashboard row a crawl-ops page shows."""
+    e = demo_edges(spark, sf_dir)
+    from giraph_spark.graph import vertices_from_edges
+
+    v = vertices_from_edges(e)
+    srcs = e.select("src").distinct()
+    dsts = e.select("dst").distinct()
+    nv = v.count()
+    ne = e.count()
+    max_out = e.groupBy("src").count().agg(F.max("count")).collect()[0][0]
+    n_sinks = v.join(srcs.withColumnRenamed("src", "id"), "id", "left_anti").count()
+    n_sources = v.join(dsts.withColumnRenamed("dst", "id"), "id", "left_anti").count()
+    density = round(ne / (nv * (nv - 1)), 6) if nv > 1 else None
+    return spark.createDataFrame(
+        [(nv, ne, density, max_out, n_sinks, n_sources)],
+        "n_vertices long, n_edges long, density double, "
+        "max_out_degree long, n_sinks long, n_sources long",
+    )
+
+
+_GRAPH_SUMMARY_SQL = f"""WITH {_GRAPH},
+od AS (SELECT src, count(*) AS c FROM edges GROUP BY src)
+SELECT (SELECT count(*) FROM verts)::BIGINT AS n_vertices,
+       (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+       round((SELECT count(*) FROM edges) * 1.0 /
+             ((SELECT count(*) FROM verts) * ((SELECT count(*) FROM verts) - 1)),
+             6) AS density,
+       (SELECT max(c) FROM od)::BIGINT AS max_out_degree,
+       (SELECT count(*) FROM verts v WHERE v.id NOT IN (SELECT src FROM edges))::BIGINT AS n_sinks,
+       (SELECT count(*) FROM verts v WHERE v.id NOT IN (SELECT dst FROM edges))::BIGINT AS n_sources"""
+
+
 def q_mean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled mean shortest-path length from the 8 lowest-id seeds
     (shares the multi-seed BFS with harmonic/eccentricity)."""
@@ -4149,6 +4183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "harmonic": q_harmonic,
         "mean_distance": q_mean_distance,
+        "graph_summary": q_graph_summary,
         "eccentricity": q_eccentricity,
         "closeness": q_closeness,
         "modularity": q_modularity,
@@ -4358,6 +4393,7 @@ FROM deg""",
         "assortativity": _ASSORTATIVITY_SQL,
         "harmonic": _harmonic_sql(8, 15),
         "mean_distance": _mean_distance_sql(8, 15),
+        "graph_summary": _GRAPH_SUMMARY_SQL,
         "eccentricity": _eccentricity_sql(8, 15),
         "closeness": _closeness_sql(8, 15),
         "modularity": _modularity_sql(3),
