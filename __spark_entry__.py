@@ -2690,6 +2690,35 @@ def q_doc_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalance: down-sample every language to the smallest
+    language's document count (deterministic md5-fraction keep rule);
+    reports per-language totals and kept counts."""
+    from giraph_spark.pipeline import balance_groups
+
+    docs = _docs(spark, sf_dir)
+    kept = balance_groups(docs, "lang", "doc_id")
+    t = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    k = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return t.join(k, "lang", "left").select(
+        "lang", "n_total", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
+_BALANCE_SQL = """WITH sizes AS (
+  SELECT lang, count(*)::BIGINT AS gn FROM documents GROUP BY lang),
+tgt AS (SELECT min(gn) AS t FROM sizes),
+kept AS (
+  SELECT d.lang FROM documents d JOIN sizes s ON s.lang = d.lang
+  WHERE (('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+         / 1152921504606846976.0)
+        < least(1.0, (SELECT t FROM tgt) * 1.0 / s.gn))
+SELECT s.lang, s.gn AS n_total, coalesce(k.n, 0)::BIGINT AS n_kept
+FROM sizes s LEFT JOIN (
+  SELECT lang, count(*)::BIGINT AS n FROM kept GROUP BY lang) k
+ON k.lang = s.lang"""
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup -> view -> click -> purchase over the
     events table (earliest-qualifying-time greedy per step)."""
@@ -4232,6 +4261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "doc_shards": q_doc_shards,
         "sessionize": q_sessionize,
+        "balance_langs": q_balance_langs,
         "funnel": q_funnel,
         "cohort": q_cohort,
         "event_rollup": q_event_rollup,
@@ -4477,6 +4507,7 @@ WHERE (('0x' || substring(md5(CAST(doc_id AS VARCHAR)),1,15))::UBIGINT / 1152921
                    - n_chars) / 50000.0) AS BIGINT) AS shard
 FROM documents""",
         "sessionize": _SESSION_SQL,
+        "balance_langs": _BALANCE_SQL,
         "funnel": _FUNNEL_SQL,
         "cohort": _COHORT_SQL,
         "event_rollup": _ROLLUP_SQL,

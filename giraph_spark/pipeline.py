@@ -231,3 +231,31 @@ def cohort_retention(
         .groupBy(F.col("_c").alias("cohort"), "offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def balance_groups(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    target: int | None = None,
+) -> DataFrame:
+    """Data-mixing rebalance: deterministically down-sample every group
+    to ~``target`` rows (default: the smallest group's size), the move a
+    training pipeline makes to stop one language / source / domain from
+    dominating the mixture. Keep rule: hash_fraction(key) <
+    target / group_size — reproducible across runs, partitionings, and
+    engines; groups at or under target pass through whole.
+
+    Scale shape: one map-side-combined size groupBy, the 1-row min
+    aggregate, then a broadcast join of the per-group rate back onto
+    the stream — the filter itself is row-local.
+    """
+    sizes = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    if target is None:
+        target = int(sizes.agg(F.min("_gn")).collect()[0][0])
+    rate = F.least(F.lit(1.0), F.lit(float(target)) / F.col("_gn"))
+    return (
+        df.join(F.broadcast(sizes), group_col)
+        .where(hash_fraction(key) < rate)
+        .drop("_gn")
+    )

@@ -700,3 +700,21 @@ def test_bpe_token_counts_classes(spark):
     assert (r.n_bpe_tokens, r.n_word, r.n_num, r.n_punct, r.n_ws) == (
         7, 4, 1, 2, 0
     )
+
+
+def test_balance_groups_caps_majority(spark):
+    from giraph_spark.pipeline import balance_groups
+
+    rows = [(i, "big" if i < 200 else "small") for i in range(220)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    kept = balance_groups(df, "grp", "doc_id")
+    counts = {r.grp: r.n for r in
+              kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # minority group passes through whole; majority sampled to ~20
+    assert counts["small"] == 20
+    assert 5 <= counts["big"] <= 40
+    # deterministic: same result on recompute
+    again = {r.grp: r.n for r in
+             balance_groups(df, "grp", "doc_id").groupBy("grp")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
