@@ -2494,6 +2494,34 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (4 chunks, hamming <= 20 on the
+    60-bit signature — the synthetic docs are mostly distinct, so the
+    threshold is loosened from the production 8 to yield candidates)."""
+    from giraph_spark.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=20).select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _simhash_pairs_sql(max_hamming: int = 20, chunks: int = 4) -> str:
+    width = SIMHASH_BITS // chunks
+    mask = (1 << width) - 1
+    return f"""WITH s AS MATERIALIZED ({_simhash_sql()}),
+ch AS (
+  SELECT doc_id, simhash, c.c AS chunk,
+         (simhash >> (c.c * {width})) & {mask} AS val
+  FROM s, (SELECT unnest(range({chunks})) AS c) c),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM ch a JOIN ch b ON b.chunk = a.chunk AND b.val = a.val
+                     AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus dedup: MinHash-LSH near-dup pairs -> connected
     components over the dup graph -> every document mapped to the min
@@ -4244,6 +4272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_near_dup": q_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "lsh_eval": q_lsh_eval,
+        "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "neighbor_topk": q_neighbor_topk,
         "simhash": q_simhash,
@@ -4477,6 +4506,7 @@ SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "jaccard_near_dup": _JACCARD_SQL,
         "minhash_lsh": _MINHASH_SQL,
         "lsh_eval": _lsh_eval_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(4),
         "neighbor_topk": f"""WITH {_GRAPH},
 r AS (
