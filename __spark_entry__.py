@@ -3550,6 +3550,35 @@ FROM t JOIN c USING (token)
 GROUP BY doc_id"""
 
 
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase occurrence counts for two fixed probe phrases."""
+    from giraph_spark.text import phrase_match
+
+    return phrase_match(
+        _docs(spark, sf_dir), ["table value part", "hash value"]
+    )
+
+
+_PHRASE_SQL = """WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(r) AS token, generate_subscripts(r, 1) AS pos
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS r
+        FROM documents)),
+g2 AS (
+  SELECT a.doc_id, a.token || ' ' || b.token AS phrase
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+g3 AS (
+  SELECT a.doc_id, a.token || ' ' || b.token || ' ' || c.token AS phrase
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+hits AS (
+  SELECT phrase, doc_id FROM g2 WHERE phrase = 'hash value'
+  UNION ALL
+  SELECT phrase, doc_id FROM g3 WHERE phrase = 'table value part')
+SELECT phrase, count(DISTINCT doc_id)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_hits
+FROM hits GROUP BY phrase"""
+
+
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 relevance for the fixed query {table, hash, fast}."""
     from giraph_spark.text import bm25_scores
@@ -4262,6 +4291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "filter_corpus": q_filter_corpus,
         "bm25": q_bm25,
+        "phrase_match": q_phrase_match,
         "surprisal": q_surprisal,
         "bpe_tokens": q_bpe_tokens,
         "lang_id": q_lang_id,
@@ -4497,6 +4527,7 @@ FROM documents""",
         "quality": _QUALITY_SQL,
         "filter_corpus": _filter_corpus_sql(),
         "bm25": _BM25_SQL,
+        "phrase_match": _PHRASE_SQL,
         "surprisal": _SURPRISAL_SQL,
         "bpe_tokens": _bpe_tokens_sql(),
         "lang_id": _lang_id_sql(),

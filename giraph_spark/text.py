@@ -600,3 +600,45 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
         ).alias("n_punct"),
         F.sum(is_ws.cast("long")).alias("n_ws"),
     )
+
+
+def phrase_match(docs: DataFrame, phrases: list[str]) -> DataFrame:
+    """Exact token-sequence search: for each phrase (pre-tokenized by
+    the same ``[a-z0-9]+`` rule) count matching documents and total
+    occurrences — the positional-index lookup a quotation / template /
+    contamination checker runs. Returns (phrase, n_docs, n_hits).
+
+    Scale shape: one n-gram scan per distinct phrase LENGTH (not per
+    phrase — phrases of equal length share a scan), filtered by a
+    broadcast literal set; counts are map-side combined. No positional
+    self-joins: the n-gram construction is the codegen array-slice of
+    :func:`shingles` without the per-doc dedup.
+    """
+    import re as _re
+
+    by_len: dict[int, list[str]] = {}
+    for p in phrases:
+        toks = _re.findall("[a-z0-9]+", p.lower())
+        if toks:
+            by_len.setdefault(len(toks), []).append(" ".join(toks))
+    out = None
+    for n, ps in sorted(by_len.items()):
+        toks = F.expr(f"regexp_extract_all(lower(text), '({TOKEN_RE})', 1)")
+        base = docs.select(
+            "doc_id", F.posexplode(toks).alias("pos0", "token"), toks.alias("_t")
+        )
+        gram = F.concat_ws(
+            " ", *[F.col("_t").getItem(F.col("pos0") + i) for i in range(n)]
+        )
+        hits = (
+            base.where(F.col("pos0") + n <= F.size("_t"))
+            .select("doc_id", gram.alias("phrase"))
+            .where(F.col("phrase").isin(ps))
+            .groupBy("phrase")
+            .agg(
+                F.count_distinct("doc_id").alias("n_docs"),
+                F.count(F.lit(1)).alias("n_hits"),
+            )
+        )
+        out = hits if out is None else out.unionAll(hits)
+    return out

@@ -718,3 +718,17 @@ def test_balance_groups_caps_majority(spark):
              balance_groups(df, "grp", "doc_id").groupBy("grp")
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == counts
+
+
+def test_phrase_match_counts(spark):
+    from giraph_spark.text import phrase_match
+
+    data = [
+        (1, "the quick brown fox jumps"),
+        (2, "quick brown shoes and quick brown fox"),
+        (3, "brown quick nothing"),
+    ]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {r.phrase: (r.n_docs, r.n_hits)
+           for r in phrase_match(df, ["Quick Brown", "quick brown fox"]).collect()}
+    assert got == {"quick brown": (2, 3), "quick brown fox": (2, 2)}
