@@ -1162,13 +1162,13 @@ agg AS (
   FROM t GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,
-       round(n_stop / n_tokens::DOUBLE, 6) AS stop_ratio,
-       round(n_distinct / n_tokens::DOUBLE, 6) AS distinct_ratio,
-       round(tok_chars / n_tokens::DOUBLE, 6) AS mean_token_len,
-       round(0.25 * least(n_tokens / 100.0, 1.0)
-           + 0.35 * (n_distinct / n_tokens::DOUBLE)
-           + 0.25 * least((tok_chars / n_tokens::DOUBLE) / 8.0, 1.0)
-           + 0.15 * (1.0 - n_stop / n_tokens::DOUBLE), 6) AS quality
+       ((n_stop * 2000000 + n_tokens) // (2 * n_tokens)) / 1000000.0 AS stop_ratio,
+       ((n_distinct * 2000000 + n_tokens) // (2 * n_tokens)) / 1000000.0 AS distinct_ratio,
+       ((tok_chars * 2000000 + n_tokens) // (2 * n_tokens)) / 1000000.0 AS mean_token_len,
+       (((4 * n_tokens * least(n_tokens, 100) + 560 * n_distinct
+          + 50 * least(tok_chars, 8 * n_tokens)
+          + 240 * (n_tokens - n_stop)) * 2000000 + 1600 * n_tokens)
+        // (2 * 1600 * n_tokens)) / 1000000.0 AS quality
 FROM agg"""
 
 _LANG_MARKER_SQL = {
@@ -1271,7 +1271,12 @@ FROM c{iters}"""
     )
 
 _JACCARD_SQL = f"""WITH {_TOKENS},
-dt AS (SELECT DISTINCT doc_id, token FROM t),
+dt0 AS (SELECT DISTINCT doc_id, token FROM t),
+-- model jaccard_pairs' scale guard max_df=1000: tokens present in more
+-- documents carry no similarity signal and are dropped BEFORE sizing
+df AS (SELECT token, count(*) AS df FROM dt0 GROUP BY token),
+dt AS (SELECT dt0.doc_id, dt0.token FROM dt0
+       JOIN df ON df.token = dt0.token WHERE df.df <= 1000),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM dt GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter

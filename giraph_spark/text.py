@@ -67,23 +67,33 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         F.sum(F.length("token")).alias("tok_chars"),
         stop.alias("n_stop"),
     )
-    n = F.col("n_tokens").cast("double")
-    stop_ratio = F.col("n_stop") / n
-    distinct_ratio = F.col("n_distinct") / n
-    mean_len = F.col("tok_chars") / n
-    score = (
-        F.lit(0.25) * F.least(n / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.35) * distinct_ratio
-        + F.lit(0.25) * F.least(mean_len / F.lit(8.0), F.lit(1.0))
-        + F.lit(0.15) * (F.lit(1.0) - stop_ratio)
+    # 6dp half-up rounding done in EXACT INTEGER arithmetic: float round()
+    # on a summed double differs between engines by 1 ulp exactly at the
+    # .5e-6 boundary (seen at sf0.1), so every ratio is computed as
+    # floor((num*2e6 + den) / (2*den)) / 1e6 over bigint num/den — any
+    # ANSI engine replays it bit-for-bit.
+    def r6(num, den):
+        return (
+            F.expr(
+                f"(({num}) * 2000000 + ({den})) div (2 * ({den}))"
+            ).cast("double")
+            / F.lit(1000000.0)
+        )
+
+    n = "n_tokens"
+    # quality = min(n,100)/400 + 7*nd/(20n) + min(tc,8n)/(32n) + 3(n-ns)/(20n)
+    #         = [4n*min(n,100) + 560*nd + 50*min(tc,8n) + 240*(n-ns)] / (1600n)
+    score_num = (
+        f"4 * {n} * least({n}, 100) + 560 * n_distinct"
+        f" + 50 * least(tok_chars, 8 * {n}) + 240 * ({n} - n_stop)"
     )
     return agg.select(
         "doc_id",
         F.col("n_tokens"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(score, 6).alias("quality"),
+        r6("n_stop", n).alias("stop_ratio"),
+        r6("n_distinct", n).alias("distinct_ratio"),
+        r6("tok_chars", n).alias("mean_token_len"),
+        r6(score_num, f"1600 * {n}").alias("quality"),
     )
 
 
