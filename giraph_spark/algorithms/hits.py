@@ -415,7 +415,13 @@ def katz_centrality(
     next to PageRank/eigenvector (beyond-reference, SURVEY §2.8).
     Converges for alpha < 1/lambda_max; no normalization, so a fixed
     iteration count replays exactly in SQL. Result ``vertices``:
-    (id, katz).
+    (id, katz). CALIBRATE alpha to the graph: on a denser graph the
+    same alpha can be supercritical (lambda_max grows with density),
+    and the un-normalized scores then grow geometrically — still
+    well-defined for fixed iterations, but at magnitudes ~1e7 a
+    6-7-decimal rounding sits beyond double ulp, so independent
+    engines' sum orders stop agreeing bit-for-bit (observed at sf0.1
+    with the sf0.01-tuned alpha=0.05: max |delta| 1e-7 on ~8e6).
 
     Scale shape identical to ``eigenvector_centrality``: the edge table
     is exchanged once per run, each superstep is one algebraic
