@@ -1132,6 +1132,76 @@ def _ppr_batch_sql(iters: int, n_seeds: int = 4, teleport: float = 0.15) -> str:
     )
 
 
+def _local_community_sql(iters: int = 15, max_size: int = 256,
+                         teleport: float = 0.15) -> str:
+    """PPR-over-sym unroll (no sinks on a symmetric graph) + sweep-cut
+    conductance replay of algorithms/ppr.py:local_community."""
+    t = teleport
+    parts = [
+        _GRAPH,
+        _SYM,
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::BIGINT AS deg FROM sym GROUP BY src)",
+        "sv AS MATERIALIZED (SELECT min(id) AS sid FROM verts)",
+        "r0 AS MATERIALIZED (SELECT id, CASE WHEN id = (SELECT sid FROM sv) "
+        "THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS rank FROM verts)",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(r.rank / d.deg) AS msg
+  FROM sym e JOIN r{k} r ON r.id = e.src JOIN deg d ON d.id = e.src
+  GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+  SELECT v.id, {1.0 - t} * coalesce(m.msg, 0.0)
+       + CASE WHEN v.id = (SELECT sid FROM sv) THEN {t} ELSE 0.0 END AS rank
+  FROM r{k} v LEFT JOIN m{k} m ON m.id = v.id)"""
+        )
+    parts.append(
+        f"""scored AS MATERIALIZED (
+  SELECT r.id, d.deg, round(r.rank, 9) / d.deg AS score
+  FROM r{iters} r JOIN deg d ON d.id = r.id
+  WHERE round(r.rank, 9) / d.deg > 0
+  ORDER BY score DESC, r.id ASC LIMIT {max_size})"""
+    )
+    parts.append(
+        """posd AS MATERIALIZED (
+  SELECT id, deg, row_number() OVER (ORDER BY score DESC, id ASC) AS pos
+  FROM scored)"""
+    )
+    parts.append(
+        """ia AS MATERIALIZED (
+  SELECT greatest(a.pos, b.pos) AS k, count(*)::BIGINT AS n
+  FROM sym e JOIN posd a ON a.id = e.src JOIN posd b ON b.id = e.dst
+  GROUP BY 1)"""
+    )
+    parts.append("tv AS MATERIALIZED (SELECT sum(deg) AS v FROM deg)")
+    parts.append(
+        """sweep AS MATERIALIZED (
+  SELECT p.pos, p.id,
+         sum(p.deg) OVER (ORDER BY p.pos) AS vol,
+         sum(coalesce(ia.n, 0)) OVER (ORDER BY p.pos) AS int2
+  FROM posd p LEFT JOIN ia ON ia.k = p.pos)"""
+    )
+    parts.append(
+        """ph AS MATERIALIZED (
+  SELECT pos, id,
+         round((vol - int2) / least(vol, (SELECT v FROM tv) - vol), 6) AS phi
+  FROM sweep WHERE vol < (SELECT v FROM tv))"""
+    )
+    parts.append(
+        "best AS MATERIALIZED (SELECT pos, phi FROM ph ORDER BY phi ASC, pos ASC LIMIT 1)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT id, pos::BIGINT AS pos, (SELECT phi FROM best) AS conductance
+FROM ph WHERE pos <= (SELECT pos FROM best)"""
+    )
+
+
 def _simhash_sql() -> str:
     votes = ",\n         ".join(
         f"CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{i}"
@@ -2855,6 +2925,23 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices.select("id", F.round("rank", 9).alias("rank"))
 
 
+def q_local_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded local community (ACL PPR conductance sweep) around the
+    lowest vertex id; returns members + the winning conductance."""
+    from giraph_spark.algorithms.ppr import local_community
+    from giraph_spark.graph import vertices_from_edges
+
+    e = demo_edges(spark, sf_dir)
+    seed = int(
+        vertices_from_edges(e).agg(F.min("id").alias("m")).collect()[0]["m"]
+    )
+    out = local_community(
+        spark, e, seed=seed, max_supersteps=15, num_partitions=NP
+    )
+    return out.select("id", F.col("pos").cast("long").alias("pos"),
+                      "conductance")
+
+
 def q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched 4-seed PPR (related-pages vectors) — one superstep loop,
     per-seed slice identical to single-seed personalized_pagerank."""
@@ -4332,6 +4419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "ppr": q_ppr,
         "ppr_batch": q_ppr_batch,
+        "local_community": q_local_community,
         "component_sizes": q_component_sizes,
         "largest_component": q_largest_component,
         "mis": q_mis,
@@ -4580,6 +4668,7 @@ FROM documents""",
         "scc": _SCC_SQL,
         "ppr": _ppr_sql(15),
         "ppr_batch": _ppr_batch_sql(10),
+        "local_community": _local_community_sql(15),
         "mis": _mis_sql(24),
         "matching": _matching_oracle_sql(),
         "redirects": _redirects_sql(),

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from giraph_spark.graph import out_degrees, vertices_from_edges
@@ -307,4 +307,95 @@ def ppr_batch(
         supersteps=run.supersteps,
         converged=run.converged,
         history=run.history,
+    )
+
+
+def local_community(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed: int,
+    teleport: float = 0.15,
+    max_supersteps: int = 15,
+    max_size: int = 256,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Seeded local community via the PPR conductance sweep
+    (Andersen-Chung-Lang 2006 shape): rank vertices by
+    round(ppr, 9) / degree over the SYMMETRIZED graph, sweep prefixes
+    S_1 c S_2 c ... of that order, and return the prefix minimizing
+    conductance phi(S) = cut(S) / min(vol(S), vol(V)-vol(S)). Output:
+    the best community's members (id, pos, conductance), pos = 1-based
+    sweep position, conductance = the winning prefix's phi repeated on
+    every row (rounded 6dp from integer cut/vol counts).
+
+    Scale shape: ONE PPR run (the only iterative part) + a degree
+    groupBy; the sweep itself touches only the top ``max_size``
+    candidates — their induced edges come from one hash join of the
+    edge table against the (tiny, broadcast) candidate positions, and
+    the cumulative cut/volume prefix sums run over <= max_size rows.
+    Ordering uses round(ppr, 9)/degree with id tie-break so any engine
+    replays the sweep order exactly.
+    """
+    from giraph_spark.graph import symmetrize
+
+    sym = symmetrize(edges)
+    run = personalized_pagerank(
+        spark, sym, sources=[int(seed)], teleport=teleport,
+        max_supersteps=max_supersteps, tolerance=None,
+        num_partitions=num_partitions,
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    total_vol_row = deg.agg(F.sum("deg").alias("v")).collect()[0]
+    total_vol = int(total_vol_row["v"])
+    scored = (
+        run.vertices.join(deg, "id")
+        .select(
+            "id",
+            "deg",
+            (F.round("rank", 9) / F.col("deg")).alias("score"),
+        )
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(max_size)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    pos = scored.withColumn("pos", F.row_number().over(w)).select(
+        "id", "deg", "pos"
+    )
+    # induced internal edges: both endpoints in the candidate set; an
+    # edge becomes internal at prefix k = max(pos_u, pos_v)
+    pa = pos.select(F.col("id").alias("src"), F.col("pos").alias("pu"))
+    pb = pos.select(F.col("id").alias("dst"), F.col("pos").alias("pv"))
+    internal_at = (
+        sym.join(F.broadcast(pa), "src")
+        .join(F.broadcast(pb), "dst")
+        .select(F.greatest("pu", "pv").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))  # sym counts each edge twice
+    )
+    wk = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    sweep = (
+        pos.join(internal_at.withColumnRenamed("k", "pos"), "pos", "left")
+        .select(
+            "pos", "id",
+            F.sum("deg").over(wk).alias("vol"),
+            F.sum(F.coalesce("n", F.lit(0))).over(wk).alias("int2"),
+        )
+        .withColumn("cut", F.col("vol") - F.col("int2"))
+        .withColumn(
+            "phi",
+            F.round(
+                F.col("cut")
+                / F.least(F.col("vol"), F.lit(total_vol) - F.col("vol")),
+                6,
+            ),
+        )
+        .where(F.col("vol") < total_vol)
+    )
+    best = sweep.orderBy(F.asc("phi"), F.asc("pos")).limit(1).collect()[0]
+    return (
+        sweep.where(F.col("pos") <= int(best["pos"]))
+        .select("id", "pos", F.lit(float(best["phi"])).alias("conductance"))
     )

@@ -1101,3 +1101,16 @@ def test_landmark_distances_bounds(spark):
     got2 = {(r.u, r.v): r.est
             for r in landmark_distances(spark, edges, [2], pairs).collect()}
     assert got2[(0, 3)] == 3
+
+
+def test_local_community_recovers_clique(spark):
+    from giraph_spark.algorithms.ppr import local_community
+
+    edges = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges += [(a, b) for a in range(10, 15) for b in range(10, 15) if a < b]
+    edges += [(4, 10)]  # single bridge between the two 5-cliques
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = local_community(spark, df, seed=0).collect()
+    assert sorted(r.id for r in out) == [0, 1, 2, 3, 4]
+    # cut = 1 bridge over vol(S) = 2*10 + 1
+    assert out[0].conductance == round(1 / 21, 6)
