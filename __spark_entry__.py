@@ -1638,6 +1638,38 @@ def q_triangle_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental triangle maintenance: triangles created by the 20%
+    held-out edge delta, computed from the delta only (oracle does the
+    full recount difference)."""
+    from giraph_spark.algorithms.triangles import triangle_delta
+
+    e = demo_edges(spark, sf_dir)
+    pred = (F.col("src") * 31 + F.col("dst")) % 10 < 8
+    return triangle_delta(e.where(pred), e.where(~pred))
+
+
+_TRIANGLE_DELTA_SQL = f"""WITH {_GRAPH},
+oldd AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 10 < 8),
+co AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM oldd),
+cn AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+tn AS (
+  SELECT count(*)::BIGINT AS t FROM cn e1
+  JOIN cn e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN cn e3 ON e3.a = e1.b AND e3.b = e2.b),
+toq AS (
+  SELECT count(*)::BIGINT AS t FROM co e1
+  JOIN co e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN co e3 ON e3.a = e1.b AND e3.b = e2.b),
+nd AS (
+  SELECT count(*)::BIGINT AS n FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM co WHERE co.a = cn.a AND co.b = cn.b))
+SELECT (SELECT t FROM tn) - (SELECT t FROM toq) AS added_triangles,
+       (SELECT n FROM nd) AS n_new_edges"""
+
+
 def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global 4-cycle count via the diagonal-codegree formula (exact,
     integer arithmetic; see triangles.rectangle_count)."""
@@ -4332,6 +4364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxlabel": q_maxlabel,
         "triangles": q_triangles,
         "triangle_global": q_triangle_global,
+        "triangle_delta": q_triangle_delta,
         "rectangles": q_rectangles,
         "clustering_coeff": q_clustering_coeff,
         "k_core": q_k_core,
@@ -4490,6 +4523,7 @@ wedges AS (
 codeg AS (SELECT u, w, count(*)::BIGINT AS c FROM wedges GROUP BY u, w)
 SELECT (coalesce(sum((c * (c - 1)) // 2), 0) // 2)::BIGINT AS n_rectangles
 FROM codeg""",
+        "triangle_delta": _TRIANGLE_DELTA_SQL,
         "triangle_global": f"""WITH {_GRAPH},
 {_SYM},
 o AS MATERIALIZED (SELECT src AS a, dst AS b FROM sym WHERE src < dst)

@@ -161,3 +161,60 @@ def rectangle_count(
             .alias("s")
         )
     ).select(F.expr("s DIV 2").cast("long").alias("n_rectangles"))
+
+
+def triangle_delta(old_edges: DataFrame, added_edges: DataFrame) -> DataFrame:
+    """Incremental triangle maintenance: the number of NEW triangles
+    created by an edge delta, WITHOUT recounting the graph. For the
+    truly-new undirected edges D (added minus already-present):
+
+        T_delta = sum_{e in D} |N_new(a) cap N_new(b)|  -  c2  +  t3
+
+    where c2 = wedges of two D-edges closed by any new edge and t3 =
+    triangles entirely inside D (inclusion-exclusion: a new triangle
+    with j added edges is seen j times by the first sum, j-choose-2
+    times by c2, once by t3 when j=3 — net exactly once for j=1,2,3).
+    Returns ONE row (added_triangles, n_new_edges).
+
+    Scale shape: every term touches only the DELTA joined against the
+    new adjacency — cost O(|D| * avg_deg + |D-wedges|), not a recount
+    of the full graph; the per-term joins are the same degree-bounded
+    relational shapes as :func:`triangle_list`. The crawl-over-crawl
+    use: triangles gained between snapshots at the cost of the delta.
+    """
+    old_sym = clean_symmetric(old_edges)
+    new_sym = clean_symmetric(old_edges.unionByName(added_edges)).persist()
+    can_old = old_sym.where(F.col("src") < F.col("dst"))
+    can_new = new_sym.where(F.col("src") < F.col("dst"))
+    d = (
+        can_new.join(can_old, ["src", "dst"], "left_anti")
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .persist()
+    )
+    sum_cn = (
+        d.join(new_sym.select(F.col("src").alias("a"), F.col("dst").alias("z")), "a")
+        .join(new_sym.select(F.col("src").alias("b"), F.col("dst").alias("z")), ["b", "z"])
+        .count()
+    )
+    d_sym = d.select(F.col("a").alias("v"), F.col("b").alias("w")).unionByName(
+        d.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    c2 = (
+        d_sym.select("v", F.col("w").alias("x"))
+        .join(d_sym.select("v", F.col("w").alias("y")), "v")
+        .where(F.col("x") < F.col("y"))
+        .join(
+            can_new.select(F.col("src").alias("x"), F.col("dst").alias("y")),
+            ["x", "y"],
+        )
+        .count()
+    )
+    t3 = triangle_count(d.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    n_new = d.count()
+    new_sym.unpersist()
+    d.unpersist()
+    spark = old_edges.sparkSession
+    return spark.createDataFrame(
+        [(int(sum_cn - c2 + t3), int(n_new))],
+        "added_triangles long, n_new_edges long",
+    )

@@ -1114,3 +1114,21 @@ def test_local_community_recovers_clique(spark):
     assert sorted(r.id for r in out) == [0, 1, 2, 3, 4]
     # cut = 1 bridge over vol(S) = 2*10 + 1
     assert out[0].conductance == round(1 / 21, 6)
+
+
+def test_triangle_delta_matches_recount(spark):
+    import random
+
+    from giraph_spark.algorithms.triangles import triangle_count, triangle_delta
+
+    rng = random.Random(7)
+    all_edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(160)})
+    all_edges = [(a, b) for a, b in all_edges if a != b]
+    old = [e for e in all_edges if (e[0] * 31 + e[1]) % 10 < 7]
+    added = [e for e in all_edges if (e[0] * 31 + e[1]) % 10 >= 7]
+    old_df = spark.createDataFrame(old, "src long, dst long")
+    add_df = spark.createDataFrame(added, "src long, dst long")
+    new_df = spark.createDataFrame(all_edges, "src long, dst long")
+    r = triangle_delta(old_df, add_df).collect()[0]
+    want = triangle_count(new_df) - triangle_count(old_df)
+    assert r.added_triangles == want and want > 0
