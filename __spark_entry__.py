@@ -2579,6 +2579,42 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.05, bands=8, n=3)
 
 
+def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl incremental near-dup: the 10% 'new' docs
+    (doc_id % 10 == 0) vs the 90% persisted index only."""
+    from giraph_spark.dedup import minhash_lsh_incremental
+
+    docs = _docs(spark, sf_dir)
+    return minhash_lsh_incremental(
+        docs.where(F.col("doc_id") % 10 == 0),
+        docs.where(F.col("doc_id") % 10 != 0),
+        threshold=0.05, bands=8, n=3,
+    )
+
+
+_CANDX = """candx AS (
+  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_idx
+  FROM sig a JOIN sig b ON b.band = a.band AND b.signature = a.signature
+  WHERE a.doc_id %% 10 = 0 AND b.doc_id %% 10 <> 0
+),
+cand AS ("""
+
+_LSH_INCR_SQL = f"""WITH {_MINHASH_CTES.replace("cand AS (", _CANDX.replace("%%", "%"))}
+SELECT c.doc_new, c.doc_idx,
+       round(coalesce(i.inter, 0) / (za.sz + zb.sz - coalesce(i.inter, 0))::DOUBLE, 6) AS jaccard
+FROM candx c
+LEFT JOIN (
+  SELECT c.doc_new, c.doc_idx, count(*)::BIGINT AS inter
+  FROM candx c
+  JOIN sh sa ON sa.doc_id = c.doc_new
+  JOIN sh sb ON sb.doc_id = c.doc_idx AND sb.shingle = sa.shingle
+  GROUP BY c.doc_new, c.doc_idx
+) i ON i.doc_new = c.doc_new AND i.doc_idx = c.doc_idx
+JOIN sizes za ON za.doc_id = c.doc_new
+JOIN sizes zb ON zb.doc_id = c.doc_idx
+WHERE round(coalesce(i.inter, 0) / (za.sz + zb.sz - coalesce(i.inter, 0))::DOUBLE, 6) >= 0.05"""
+
+
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured LSH quality: exact 3-gram-Jaccard truth set (>=0.05) vs
     the banded MinHash candidate pipeline — one row (n_truth, n_lsh,
@@ -4427,6 +4463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_near_dup": q_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "lsh_eval": q_lsh_eval,
+        "lsh_incremental": q_lsh_incremental,
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "neighbor_topk": q_neighbor_topk,
@@ -4664,6 +4701,7 @@ SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "jaccard_near_dup": _JACCARD_SQL,
         "minhash_lsh": _MINHASH_SQL,
         "lsh_eval": _lsh_eval_sql(),
+        "lsh_incremental": _LSH_INCR_SQL,
         "simhash_pairs": _simhash_pairs_sql(),
         "dedup_clusters": _dedup_clusters_sql(4),
         "neighbor_topk": f"""WITH {_GRAPH},

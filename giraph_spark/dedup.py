@@ -356,3 +356,59 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    threshold: float = 0.05,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup: compare only the NEW documents against the
+    existing corpus index — the daily-crawl production shape (the
+    index's signatures are computed once and persisted; no old-vs-old
+    pairs are ever re-enumerated). Candidates share a (band, signature)
+    bucket across the new/index boundary; survivors verified with true
+    n-gram Jaccard >= ``threshold``. Returns (doc_new, doc_idx,
+    jaccard).
+
+    Scale shape: cost is O(|new| signatures + boundary bucket
+    collisions) — independent of index-vs-index pair counts; at 100 TB
+    the signature table is the persisted artifact and each day's batch
+    joins against it by (band, signature), a plain hash join.
+    """
+    sn = minhash_signatures(new_docs, bands=bands, n=n).select(
+        F.col("doc_id").alias("doc_new"), "band", "signature"
+    )
+    si = minhash_signatures(index_docs, bands=bands, n=n).select(
+        F.col("doc_id").alias("doc_idx"), "band", "signature"
+    )
+    cand = sn.join(si, ["band", "signature"]).select(
+        "doc_new", "doc_idx"
+    ).distinct()
+    shn = shingles(new_docs, n)
+    shi = shingles(index_docs, n)
+    szn = shn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("szn"))
+    szi = shi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("szi"))
+    inter = (
+        cand.join(shn.select(F.col("doc_id").alias("doc_new"), "shingle"), "doc_new")
+        .join(shi.select(F.col("doc_id").alias("doc_idx"), "shingle"), ["doc_idx", "shingle"])
+        .groupBy("doc_new", "doc_idx")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cand.join(inter, ["doc_new", "doc_idx"], "left")
+        .join(szn.select(F.col("doc_id").alias("doc_new"), "szn"), "doc_new")
+        .join(szi.select(F.col("doc_id").alias("doc_idx"), "szi"), "doc_idx")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0))
+                / (F.col("szn") + F.col("szi") - F.coalesce(F.col("inter"), F.lit(0))),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_new", "doc_idx", "jaccard")
+    )

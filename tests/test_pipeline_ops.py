@@ -732,3 +732,23 @@ def test_phrase_match_counts(spark):
     got = {r.phrase: (r.n_docs, r.n_hits)
            for r in phrase_match(df, ["Quick Brown", "quick brown fox"]).collect()}
     assert got == {"quick brown": (2, 3), "quick brown fox": (2, 2)}
+
+
+def test_minhash_lsh_incremental_boundary_only(spark):
+    from giraph_spark.dedup import minhash_lsh_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    idx = [(1, base), (2, base + " iota"), (3, "totally different words here")]
+    new = [(10, base), (11, "unrelated text again entirely")]
+    out = minhash_lsh_incremental(
+        spark.createDataFrame(new, "doc_id long, text string"),
+        spark.createDataFrame(idx, "doc_id long, text string"),
+        threshold=0.3,
+    ).collect()
+    pairs = {(r.doc_new, r.doc_idx): r.jaccard for r in out}
+    # new doc 10 duplicates index docs 1 (exact) and 2 (near);
+    # no index-index or new-new pairs ever emitted
+    assert pairs[(10, 1)] == 1.0
+    assert (10, 2) in pairs and pairs[(10, 2)] > 0.3
+    assert all(k[0] in (10, 11) and k[1] in (1, 2, 3) for k in pairs)
+    assert (11, 3) not in pairs
