@@ -3862,6 +3862,38 @@ JOIN sizes sb ON sb.host = host_b
 WHERE round(n_shared / (sa.sz + sb.sz - n_shared), 6) >= 0.12"""
 
 
+def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ingest: the corpus pages replayed as a file
+    stream (availableNow drain), links extracted per micro-batch and
+    rolled up to per-host counts. Engine-only rows check (streaming is
+    not SQL-expressible for the oracle; batch-equivalence is pytest-
+    gated in test_multimodal_streaming.py)."""
+    import os
+    import tempfile
+
+    from giraph_spark.corpus import host_of, synth_corpus
+    from giraph_spark.streaming import (
+        read_page_stream,
+        run_stream_to_memory,
+        streaming_link_extract,
+    )
+
+    pages = synth_corpus(spark, n_pages=2000, seed=42)
+    d = tempfile.mkdtemp(prefix="gs_stream_")
+    pages.write.mode("overwrite").parquet(d + "/pages")
+    stream = read_page_stream(spark, d + "/pages", max_files_per_trigger=4)
+    name = "stream_links_" + os.urandom(4).hex()
+    run_stream_to_memory(streaming_link_extract(stream), name)
+    out = (
+        spark.table(name)
+        .select(host_of(F.col("href")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    # drain fully before the temp dir goes away with the session
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
 def q_corpus_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation: per normalized link target, total
     in-links, distinct anchor strings, and the most frequent anchor
@@ -4505,6 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_host_rank": q_corpus_host_rank,
         "corpus_trustrank": q_corpus_trustrank,
         "corpus_anchor_text": q_corpus_anchor_text,
+        "streaming_extract": q_streaming_extract,
         "url_canonical": q_url_canonical,
         "crawl_frontier": q_crawl_frontier,
         "boilerplate": q_boilerplate,
