@@ -1581,6 +1581,55 @@ def q_wcc_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_wcc_mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-run mutation, driver-gated: min-label WCC starts on 80% of
+    the symmetric edges; at superstep 2 the remaining 20% are ADDED via
+    the VertexResolver mutation path (run_mutable_supersteps) and the
+    loop continues to convergence. Final labels must equal cold WCC of
+    the FULL graph — the standard wcc oracle."""
+    from giraph_spark.graph import symmetrize, vertices_from_edges
+    from giraph_spark.mutation import GraphChanges, run_mutable_supersteps
+    from giraph_spark.pregel import gather_messages, materialize_count
+
+    e_full = demo_edges(spark, sf_dir)
+    sym = symmetrize(e_full)
+    pred = (F.col("src") * 31 + F.col("dst")) % 10 < 8
+    e0 = sym.where(pred)
+    delta = sym.where(~pred)
+    verts = vertices_from_edges(sym).select(
+        "id", F.col("id").alias("component")
+    )
+
+    def step(v, e, superstep):
+        msgs = e.join(
+            v.select(F.col("id").alias("src"), "component").hint("shuffle_hash"),
+            "src",
+        ).select("dst", F.col("component").alias("msg"))
+        gathered = gather_messages(msgs, [("msg", "min")], key="dst")
+        new_v = (
+            v.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                F.least("component", F.coalesce("msg", "component")).alias(
+                    "component"
+                ),
+                (F.coalesce("msg", "component") < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        stats = {"changed": materialize_count(new_v.persist(), "_changed")}
+        changes = GraphChanges(add_edges=delta) if superstep == 2 else None
+        return new_v.drop("_changed"), stats, changes, None
+
+    run = run_mutable_supersteps(
+        spark, verts, e0, step, max_supersteps=40,
+        halt=lambda stats, i: i >= 3 and stats["changed"] == 0,
+        create_on_message=False,
+    )
+    return run.vertices.select("id", "component")
+
+
 def q_wcc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-over-crawl incremental WCC: converge labels on the first
     crawl window (src % 10 < 7 edge subset), then warm-start on the full
@@ -4421,6 +4470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "wcc": q_wcc,
         "wcc_incremental": q_wcc_incremental,
+        "wcc_mutated": q_wcc_mutated,
         "wcc_resumed": q_wcc_resumed,
         "wcc_bucketed": q_wcc_bucketed,
         "pseudo_diameter": q_pseudo_diameter,
@@ -4561,6 +4611,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_weighted": _pagerank_weighted_sql(4),
         "wcc": _minlabel_sql(20, "sym", "least", "component"),
         "wcc_incremental": _minlabel_sql(20, "sym", "least", "component"),
+        "wcc_mutated": _minlabel_sql(20, "sym", "least", "component"),
         "wcc_resumed": _minlabel_sql(20, "sym", "least", "component"),
         "wcc_bucketed": _minlabel_sql(20, "sym", "least", "component"),
         "pseudo_diameter": _pseudo_diameter_sql(20),
