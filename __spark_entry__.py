@@ -2550,6 +2550,32 @@ def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.vertices
 
 
+def q_edge_list_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text edge-list IO, driver-gated: demo edges written as
+    'src<TAB>dst' lines, read back via read_edge_list, out-degrees over
+    the round-tripped table — must match the parquet-path oracle
+    (IntNullTextEdgeInputFormat.java:36-46 analog)."""
+    import shutil
+    import tempfile
+
+    from giraph_spark.io_formats import read_edge_list
+
+    d = tempfile.mkdtemp(prefix="gs_el_")
+    try:
+        e = demo_edges(spark, sf_dir)
+        e.select(
+            F.concat_ws("\t", F.col("src"), F.col("dst")).alias("value")
+        ).write.mode("overwrite").text(d + "/edges")
+        rt = read_edge_list(spark, d + "/edges")
+        out = out_degrees(rt).select(
+            F.col("src").alias("id"),
+            F.col("out_degree").cast("long").alias("out_degree"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_degrees(demo_edges(spark, sf_dir)).select(
         F.col("src").alias("id"), F.col("out_degree").cast("long").alias("out_degree")
@@ -4524,6 +4550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
+        "edge_list_roundtrip": q_edge_list_roundtrip,
         "in_degrees": q_in_degrees,
         "degree_stats": q_degree_stats,
         "symmetrize": q_symmetrize,
@@ -4742,6 +4769,8 @@ FROM deg""",
         "sssp": _sssp_sql(30),
         "bfs": _bfs_sql(15),
         "out_degrees": f"""WITH {_GRAPH}
+SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
+        "edge_list_roundtrip": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "in_degrees": f"""WITH {_GRAPH}
 SELECT dst AS id, count(*)::BIGINT AS in_degree FROM edges GROUP BY dst""",
