@@ -2576,6 +2576,37 @@ def q_edge_list_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_adjacency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency-list IO, driver-gated: demo edges grouped to
+    'id dst1 dst2 ...' lines, re-parsed via read_adjacency, out-degrees
+    over the round-trip — same oracle as the parquet path
+    (AdjacencyListTextVertexInputFormat analog)."""
+    import shutil
+    import tempfile
+
+    from giraph_spark.io_formats import read_adjacency
+
+    d = tempfile.mkdtemp(prefix="gs_adj_")
+    try:
+        e = demo_edges(spark, sf_dir)
+        adj = e.groupBy("src").agg(
+            F.concat_ws(
+                " ",
+                F.col("src"),
+                F.concat_ws(" ", F.array_sort(F.collect_list("dst"))),
+            ).alias("value")
+        )
+        adj.select("value").write.mode("overwrite").text(d + "/adj")
+        _, rt = read_adjacency(spark, d + "/adj")
+        out = out_degrees(rt).select(
+            F.col("src").alias("id"),
+            F.col("out_degree").cast("long").alias("out_degree"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_degrees(demo_edges(spark, sf_dir)).select(
         F.col("src").alias("id"), F.col("out_degree").cast("long").alias("out_degree")
@@ -4551,6 +4582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
         "edge_list_roundtrip": q_edge_list_roundtrip,
+        "adjacency_roundtrip": q_adjacency_roundtrip,
         "in_degrees": q_in_degrees,
         "degree_stats": q_degree_stats,
         "symmetrize": q_symmetrize,
@@ -4771,6 +4803,8 @@ FROM deg""",
         "out_degrees": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "edge_list_roundtrip": f"""WITH {_GRAPH}
+SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
+        "adjacency_roundtrip": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "in_degrees": f"""WITH {_GRAPH}
 SELECT dst AS id, count(*)::BIGINT AS in_degree FROM edges GROUP BY dst""",
