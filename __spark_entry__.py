@@ -2607,6 +2607,45 @@ def q_adjacency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON vertex-format IO, driver-gated: demo edges serialized as
+    '[id, value, [[dst, w], ...]]' lines (the reference's
+    JsonLongDoubleFloatDoubleVertexInputFormat shape), re-parsed via
+    read_json_vertices, out-degrees over the round-trip."""
+    import shutil
+    import tempfile
+
+    from giraph_spark.io_formats import read_json_vertices
+
+    d = tempfile.mkdtemp(prefix="gs_json_")
+    try:
+        e = demo_edges(spark, sf_dir)
+        line = F.concat(
+            F.lit("["),
+            F.col("src"),
+            F.lit(", 0.0, ["),
+            F.concat_ws(
+                ", ",
+                F.transform(
+                    F.array_sort(F.collect_list("dst")),
+                    lambda x: F.concat(F.lit("["), x, F.lit(", 1.0]")),
+                ),
+            ),
+            F.lit("]]"),
+        )
+        e.groupBy("src").agg(line.alias("value")).select("value").write.mode(
+            "overwrite"
+        ).text(d + "/v")
+        _, rt = read_json_vertices(spark, d + "/v")
+        out = out_degrees(rt).select(
+            F.col("src").alias("id"),
+            F.col("out_degree").cast("long").alias("out_degree"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_degrees(demo_edges(spark, sf_dir)).select(
         F.col("src").alias("id"), F.col("out_degree").cast("long").alias("out_degree")
@@ -4583,6 +4622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degrees": q_out_degrees,
         "edge_list_roundtrip": q_edge_list_roundtrip,
         "adjacency_roundtrip": q_adjacency_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
         "in_degrees": q_in_degrees,
         "degree_stats": q_degree_stats,
         "symmetrize": q_symmetrize,
@@ -4805,6 +4845,8 @@ SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "edge_list_roundtrip": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "adjacency_roundtrip": f"""WITH {_GRAPH}
+SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
+        "json_roundtrip": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "in_degrees": f"""WITH {_GRAPH}
 SELECT dst AS id, count(*)::BIGINT AS in_degree FROM edges GROUP BY dst""",
