@@ -1467,11 +1467,12 @@ def q_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, demo_edges(spark, sf_dir), max_supersteps=5, num_partitions=NP
     )
     rows = [
-        (i + 1, round(h["l1"], 6))
-        for i, h in enumerate(run.history)
-        if "l1" in h
+        (i + 1, float(h["l1"])) for i, h in enumerate(run.history) if "l1" in h
     ]
-    return spark.createDataFrame(rows, "superstep long, l1 double")
+    # round engine-side (HALF_UP, matching DuckDB) — not Python banker's
+    return spark.createDataFrame(rows, "superstep long, l1 double").select(
+        "superstep", F.round("l1", 6).alias("l1")
+    )
 
 
 def q_top_pages_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2328,11 +2329,27 @@ def q_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_out = e.groupBy("src").count().agg(F.max("count")).collect()[0][0]
     n_sinks = v.join(srcs.withColumnRenamed("src", "id"), "id", "left_anti").count()
     n_sources = v.join(dsts.withColumnRenamed("dst", "id"), "id", "left_anti").count()
-    density = round(ne / (nv * (nv - 1)), 6) if nv > 1 else None
+    # density rounded engine-side (F.round = HALF_UP, matching DuckDB's
+    # half-away-from-zero) — Python round() is banker's and diverges on
+    # .5e-6 boundaries (same class as the quality_scores fix).
     return spark.createDataFrame(
-        [(nv, ne, density, max_out, n_sinks, n_sources)],
-        "n_vertices long, n_edges long, density double, "
+        [(nv, ne, max_out, n_sinks, n_sources)],
+        "n_vertices long, n_edges long, "
         "max_out_degree long, n_sinks long, n_sources long",
+    ).select(
+        "n_vertices",
+        "n_edges",
+        F.when(
+            F.col("n_vertices") > 1,
+            F.round(
+                F.col("n_edges")
+                / (F.col("n_vertices") * (F.col("n_vertices") - F.lit(1))),
+                6,
+            ),
+        ).alias("density"),
+        "max_out_degree",
+        "n_sinks",
+        "n_sources",
     )
 
 
@@ -2776,9 +2793,17 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_truth = truth.count()
     n_lsh = lsh.count()
+    # recall rounded engine-side (F.round = HALF_UP like DuckDB), not
+    # Python banker's round — .5e-6 boundary class.
     return spark.createDataFrame(
-        [(n_truth, n_lsh, round(n_lsh / n_truth, 6) if n_truth else None)],
-        "n_truth long, n_lsh long, recall double",
+        [(n_truth, n_lsh)], "n_truth long, n_lsh long"
+    ).select(
+        "n_truth",
+        "n_lsh",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_lsh") / F.col("n_truth"), 6),
+        ).alias("recall"),
     )
 
 

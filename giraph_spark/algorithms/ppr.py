@@ -394,7 +394,13 @@ def local_community(
         )
         .where(F.col("vol") < total_vol)
     )
-    best = sweep.orderBy(F.asc("phi"), F.asc("pos")).limit(1).collect()[0]
+    best_rows = sweep.orderBy(F.asc("phi"), F.asc("pos")).limit(1).collect()
+    if not best_rows:
+        raise ValueError(
+            f"local_community: seed {seed!r} has no PPR mass — it is absent "
+            "from the edge table (or isolated), so no sweep cut exists"
+        )
+    best = best_rows[0]
     return (
         sweep.where(F.col("pos") <= int(best["pos"]))
         .select("id", "pos", F.lit(float(best["phi"])).alias("conductance"))

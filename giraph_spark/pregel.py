@@ -117,7 +117,7 @@ def gather_messages(
 def gather_topk_messages(
     messages: DataFrame,
     k: int,
-    key: str = "dst",
+    key: str | list[str] = "dst",
     msg_col: str = "msg",
     ascending: bool = False,
     salt: int | None = None,
@@ -160,10 +160,10 @@ def gather_topk_messages(
         "_salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in messages.columns]), F.lit(salt)),
     )
-    level1 = salted.groupBy(key, "_salt").agg(
+    level1 = salted.groupBy(*keys, "_salt").agg(
         topk_of(F.collect_list(msg_col)).alias("_t")
     )
-    return level1.groupBy(key).agg(
+    return level1.groupBy(*keys).agg(
         topk_of(F.flatten(F.collect_list("_t"))).alias("topk")
     )
 

@@ -651,4 +651,8 @@ def phrase_match(docs: DataFrame, phrases: list[str]) -> DataFrame:
             )
         )
         out = hits if out is None else out.unionAll(hits)
+    if out is None:
+        raise ValueError(
+            "phrase_match needs at least one phrase with alphanumeric tokens"
+        )
     return out

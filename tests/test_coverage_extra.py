@@ -122,6 +122,37 @@ def test_gather_topk_messages_salted_equivalent(spark):
     assert asc == {d: sorted(v)[:4] for d, v in {k: [m for dd, m in rows if dd == k] for k in want}.items()}
 
 
+def test_gather_topk_messages_salted_composite_key(spark):
+    # Regression: salted branch used the raw (possibly list) key in
+    # groupBy instead of the normalized *keys — composite keys + salt
+    # raised; unsalted worked. Both paths must agree.
+    import random
+
+    from giraph_spark.pregel import gather_topk_messages
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(3), rng.randrange(2), float(rng.randrange(50)))
+        for _ in range(300)
+    ]
+    msgs = spark.createDataFrame(rows, "dst long, part long, msg double")
+    plain = {
+        (r.dst, r.part): list(r.topk)
+        for r in gather_topk_messages(msgs, 3, key=["dst", "part"]).collect()
+    }
+    salted = {
+        (r.dst, r.part): list(r.topk)
+        for r in gather_topk_messages(
+            msgs, 3, key=["dst", "part"], salt=4
+        ).collect()
+    }
+    assert plain == salted
+    want: dict[tuple[int, int], list[float]] = {}
+    for d, p, m in rows:
+        want.setdefault((d, p), []).append(m)
+    assert plain == {k: sorted(v, reverse=True)[:3] for k, v in want.items()}
+
+
 def test_striped_block_covers_all_vertices_once(spark):
     """StripingUtils.java:66-137 — every vertex is in exactly one stripe,
     so a striped increment touches each vertex exactly once, in
