@@ -192,6 +192,52 @@ def test_lpa_matches_oracle_random(spark):
     assert got == want
 
 
+def test_lpa_incremental_equals_full(spark):
+    # The affected-dst recount (send-on-change economy) must be exactly
+    # the synchronous fixpoint: threshold 1.0 forces the incremental
+    # path from superstep 1 on; labels, supersteps, and the oracle all
+    # have to match the always-full-scatter run.
+    edges = _random_digraph(47, 60, 200)
+    full = label_propagation(
+        spark, _edges_df(spark, edges), max_supersteps=8,
+        incremental_threshold=None,
+    )
+    incr = label_propagation(
+        spark, _edges_df(spark, edges), max_supersteps=8,
+        incremental_threshold=1.0,
+    )
+    assert any(h.get("incremental") for h in incr.history)
+    assert incr.supersteps == full.supersteps
+    a = {r["id"]: r["label"] for r in full.vertices.collect()}
+    b = {r["id"]: r["label"] for r in incr.vertices.collect()}
+    assert a == b
+    assert b == lpa_oracle(edges, iters=incr.supersteps)
+
+
+def test_lpa_incremental_weighted_equals_full(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (rng.randrange(40), rng.randrange(40), rng.randrange(1, 4))
+        for _ in range(150)
+    ]
+    rows = [(s, d, w) for s, d, w in rows if s != d]
+    df = spark.createDataFrame(rows, "src long, dst long, n_links long")
+    full = label_propagation(
+        spark, df, max_supersteps=6, weight_col="n_links",
+        incremental_threshold=None,
+    )
+    incr = label_propagation(
+        spark, df, max_supersteps=6, weight_col="n_links",
+        incremental_threshold=1.0,
+    )
+    assert any(h.get("incremental") for h in incr.history)
+    a = {r["id"]: r["label"] for r in full.vertices.collect()}
+    b = {r["id"]: r["label"] for r in incr.vertices.collect()}
+    assert a == b
+
+
 # ---------------------------------------------------------------- Triangles
 
 
