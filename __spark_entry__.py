@@ -12,6 +12,7 @@ driver's compare sorts columns by name and hashes values.
 
 from __future__ import annotations
 
+import functools as _functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1934,14 +1935,24 @@ FROM verts v LEFT JOIN (
 
 
 def q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Katz centrality, 8 fixed iterations (alpha=0.05, beta=1)."""
+    """Katz centrality, 8 fixed iterations (alpha=0.05, beta=1),
+    L2-normalized before rounding. Normalization makes the 7-dp compare
+    scale-free: at a supercritical alpha the raw magnitudes grow with
+    graph density, and a fixed decimal rounding eventually exceeds
+    double precision (the sf0.1 delta of round 2); the normalized score
+    is O(1/sqrt(n)) at every SF. The norm is one scalar aggregate."""
     from giraph_spark.algorithms.hits import katz_centrality
 
     run = katz_centrality(
         spark, demo_edges(spark, sf_dir), alpha=0.05, beta=1.0,
         max_supersteps=8, num_partitions=NP,
     )
-    return run.vertices.select("id", F.round("katz", 7).alias("katz"))
+    nrm = float(
+        run.vertices.agg(F.sqrt(F.sum(F.pow("katz", 2)))).collect()[0][0]
+    )
+    return run.vertices.select(
+        "id", F.round(F.col("katz") / F.lit(nrm), 7).alias("katz")
+    )
 
 
 def _katz_sql(iters: int, alpha: float = 0.05, beta: float = 1.0) -> str:
@@ -1962,7 +1973,8 @@ def _katz_sql(iters: int, alpha: float = 0.05, beta: float = 1.0) -> str:
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT id, round(x, 7) AS katz FROM k{iters}"
+        + f"\nSELECT id, round(x / (SELECT sqrt(sum(x * x)) FROM k{iters}), 7)"
+        f" AS katz FROM k{iters}"
     )
 
 
@@ -2066,19 +2078,146 @@ def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coreness(spark, demo_edges(spark, sf_dir), num_partitions=NP)
 
 
-def _coreness_sql(min_deg: int, max_k: int, rounds: int, last_rounds: int) -> str:
-    """Unrolled ascending-k peel: for k <= ``min_deg`` (the graph's
-    minimum symmetric degree) one round is a verified no-op; above it
-    each k peels up to ``rounds`` cascade rounds from the previous
-    core's edges. ``max_k`` must exceed the max coreness, and its
-    dissolution (peeling the dense final core to empty) cascades far
-    deeper than any earlier k — measured 32 rounds at sf0.01 vs <= 6
-    for every k below — hence the separate ``last_rounds``."""
+_DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _oracle_sf_dir() -> str:
+    """SF dir the decomposition-oracle unroll bounds are measured on.
+
+    The driver's gate runs at sf0.01 (the default); the committed sf0.1
+    sweep sets SPARK_GRAFT_ORACLE_SF_DIR so the same oracle strings are
+    emitted with that SF's measured k-range instead of the gate's."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _DEFAULT_ORACLE_SF_DIR)
+
+
+@_functools.lru_cache(maxsize=8)
+def _peel_bounds(sf_dir: str) -> tuple[tuple[int, int], ...]:
+    """Measure, with DuckDB alone (no Spark anywhere), how many peel
+    cascade rounds each k of the ascending-k core decomposition needs on
+    the demo graph built from ``sf_dir`` — the unroll bound is then
+    emitted from the data, not from a hardcoded gate-SF regime. Still a
+    fully independent oracle: the iteration below is the same DuckDB
+    relational peel the unrolled CTE chain replays, just driven to
+    fixpoint from Python instead of a fixed-depth string."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    con.execute(
+        f"CREATE TEMP TABLE ce AS WITH edges AS ({DEMO_EDGES_SQL}) "
+        "SELECT DISTINCT * FROM (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
+    )
+    n = con.execute("SELECT count(*) FROM ce").fetchone()[0]
+    out: list[tuple[int, int]] = []
+    k = 0
+    while n > 0:
+        k += 1
+        r = 0
+        while True:
+            con.execute(
+                "CREATE OR REPLACE TEMP TABLE ce2 AS "
+                "SELECT e.src, e.dst FROM ce e JOIN (SELECT src FROM ce "
+                f"GROUP BY src HAVING count(*) >= {k}) a ON a.src = e.src "
+                "JOIN (SELECT src FROM ce GROUP BY src HAVING "
+                f"count(*) >= {k}) b ON b.src = e.dst"
+            )
+            r += 1
+            n2 = con.execute("SELECT count(*) FROM ce2").fetchone()[0]
+            con.execute("CREATE OR REPLACE TEMP TABLE ce AS SELECT * FROM ce2")
+            if n2 == n:
+                break
+            n = n2
+        out.append((k, r))
+    con.close()
+    return tuple(out)
+
+
+@_functools.lru_cache(maxsize=8)
+def _truss_bounds(sf_dir: str) -> tuple[tuple[int, int], ...]:
+    """Same data-driven measurement as :func:`_peel_bounds` for the
+    truss decomposition: per-k support-peel cascade depths on the demo
+    graph of ``sf_dir``, measured with DuckDB alone."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    con.execute(
+        f"CREATE TEMP TABLE th AS WITH edges AS ({DEMO_EDGES_SQL}), "
+        "sym AS (SELECT DISTINCT * FROM (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges)) "
+        "SELECT src AS u, dst AS v FROM sym WHERE src < dst"
+    )
+    n = con.execute("SELECT count(*) FROM th").fetchone()[0]
+    out: list[tuple[int, int]] = []
+    k = 2
+    while n > 0:
+        k += 1
+        r = 0
+        while True:
+            con.execute(
+                """CREATE OR REPLACE TEMP TABLE th2 AS
+SELECT h.u, h.v FROM th h JOIN (
+  SELECT u, v, count(*) AS sup FROM (
+    SELECT e1.u AS u, e1.v AS v FROM th e1
+    JOIN th e2 ON e2.u = e1.v JOIN th e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.u, e2.v FROM th e1
+    JOIN th e2 ON e2.u = e1.v JOIN th e3 ON e3.u = e1.u AND e3.v = e2.v
+    UNION ALL
+    SELECT e1.v, e2.v FROM th e1
+    JOIN th e2 ON e2.u = e1.v JOIN th e3 ON e3.u = e1.u AND e3.v = e2.v
+  ) GROUP BY u, v
+) s ON s.u = h.u AND s.v = h.v WHERE s.sup >= """
+                + str(k - 2)
+            )
+            r += 1
+            n2 = con.execute("SELECT count(*) FROM th2").fetchone()[0]
+            con.execute("CREATE OR REPLACE TEMP TABLE th AS SELECT * FROM th2")
+            if n2 == n:
+                break
+            n = n2
+        out.append((k, r))
+    con.close()
+    return tuple(out)
+
+
+def _coreness_bounds() -> dict[int, int]:
+    try:
+        return dict(_peel_bounds(_oracle_sf_dir()))
+    except Exception:  # probe table unreadable: gate-SF (sf0.01) regime
+        return {**{k: 1 for k in range(1, 9)}, **{k: 8 for k in range(9, 21)}, 21: 34}
+
+
+def _trussness_bounds() -> dict[int, int]:
+    try:
+        return dict(_truss_bounds(_oracle_sf_dir()))
+    except Exception:  # probe table unreadable: gate-SF (sf0.01) regime
+        return {3: 4, 4: 6, 5: 4}
+
+
+def _coreness_sql(rounds_per_k: dict[int, int]) -> str:
+    """Unrolled ascending-k peel with per-k cascade depths MEASURED from
+    the data (``_peel_bounds``): the round-2 version hardcoded the gate
+    SF's k-range (coreness 8..20 at sf0.01) and clipped at sf0.1 where
+    the same demo graph is ~10x denser. Now the k-loop is emitted from
+    the target table itself — DuckDB measures how many cascade rounds
+    each k needs (1 for every k at or below the minimum degree, where
+    the peel is a verified no-op), so the unroll is exact at any SF."""
+    max_k = max(rounds_per_k)
     parts = [_GRAPH, _SYM, "ce0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
     idx = 0
     core_edges = {}
     for k in range(1, max_k + 1):
-        r_k = 1 if k <= min_deg else (last_rounds if k == max_k else rounds)
+        r_k = rounds_per_k.get(k, 1)
         for _ in range(r_k):
             parts.append(
                 f"""ck{idx} AS MATERIALIZED (
@@ -2118,9 +2257,9 @@ def q_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _trussness_sql(rounds_per_k: dict[int, int]) -> str:
-    """Chained per-k truss peels (measured cascade depths at sf0.01:
-    k=3 needs 2, k=4 needs 4, k=5 needs 2 — over-provisioned by caller);
-    trussness = max k whose final truss contains the edge, else 2."""
+    """Chained per-k truss peels; cascade depths come MEASURED from the
+    target SF's data (``_truss_bounds``), so the unroll is exact at any
+    SF; trussness = max k whose final truss contains the edge, else 2."""
     parts = [
         _GRAPH,
         _SYM,
@@ -2985,15 +3124,63 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, random-hyperplane LSH scale path:
-    banded candidate buckets + exact cosine verify. At 32 planes /
-    16 bands a cosine-0.4 pair collides with prob 1-(1-0.398)^16
-    ~ 0.9997, and on this deterministic corpus+seed recall is exactly
-    1, so the brute-force SQL is a valid exact oracle."""
+    banded candidate buckets + exact cosine verify. The oracle models
+    the banding itself (same integer-quantized plane dots, same bucket
+    packing, emitted into SQL from the same seed), so the compare is
+    exact at every SF — round 2's brute-force oracle relied on
+    recall=1, which a single sign-boundary vector at a bigger SF could
+    (and did) break."""
     from giraph_spark.embeddings import lsh_cosine_pairs
 
     return lsh_cosine_pairs(
         _emb(spark, sf_dir), threshold=0.4, dim=64, planes=32, bands=16, seed=42
     )
+
+
+def _cosine_lsh_sql(
+    threshold: float, dim: int, planes: int, bands: int, seed: int
+) -> str:
+    """Replay of ``lsh_cosine_pairs`` banding in DuckDB: the plane signs
+    are emitted from the identical numpy seed, and the plane dots use
+    the same floor(x * 2^20) integer quantization, so bucket membership
+    is bit-identical across engines (integer sums are order-free)."""
+    import numpy as np
+
+    from giraph_spark.embeddings import QUANT_SCALE
+
+    rng = np.random.RandomState(seed)
+    h = rng.choice([-1.0, 1.0], size=(planes, dim))
+    r = planes // bands
+    rows = ", ".join(
+        f"({p}, {i + 1}, {int(h[p][i])})"
+        for p in range(planes)
+        for i in range(dim)
+    )
+    return f"""WITH {_EMB_UNNEST},
+planes(plane, pos, s) AS (VALUES {rows}),
+q AS (SELECT vec_id, pos, floor(v * {QUANT_SCALE})::BIGINT AS qv FROM u),
+dots AS (
+  SELECT q.vec_id, p.plane, sum(q.qv * p.s) AS d
+  FROM q JOIN planes p ON p.pos = q.pos GROUP BY q.vec_id, p.plane),
+buckets AS (
+  SELECT vec_id, plane // {r} AS band,
+         sum((CASE WHEN d >= 0 THEN 1 ELSE 0 END)
+             * (1::BIGINT << ({r} - 1 - plane % {r}))) AS bucket
+  FROM dots GROUP BY vec_id, plane // {r}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON b.band = a.band AND b.bucket = a.bucket AND a.vec_id < b.vec_id),
+pd AS (
+  SELECT c.id_a, c.id_b, sum(ua.v * ub.v) AS dot
+  FROM cand c JOIN u ua ON ua.vec_id = c.id_a
+  JOIN u ub ON ub.vec_id = c.id_b AND ub.pos = ua.pos
+  GROUP BY c.id_a, c.id_b)
+SELECT d.id_a, d.id_b, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM pd d
+JOIN norms na ON na.vec_id = d.id_a
+JOIN norms nb ON nb.vec_id = d.id_b
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= {threshold!r}"""
 
 
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3422,19 +3609,52 @@ FROM dverts v LEFT JOIN f{unroll} f ON f.id = v.id"""
     )
 
 
-def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from giraph_spark.multimodal import decode_image, image_features
+_MEDIA_N, _MEDIA_W, _MEDIA_H, _MEDIA_C = 100, 16, 16, 3
+_MEDIA_COEFFS = (7919, 131, 17, 101)
 
-    # engine-only: binary decode plumbing with the deterministic fake codec
-    docs = _docs(spark, sf_dir).limit(100).select(
-        F.col("doc_id").cast("string").alias("key"),
-        F.encode("text", "utf-8").alias("data"),
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode end-to-end (was engine-only through round 2):
+    closed-form pixels -> encode_png -> binary column -> decode_image
+    (pure-stdlib PNG codec: CRC, IDAT inflate, un-filter) ->
+    image_features. The oracle derives the same features from the pixel
+    formula directly — PNG is lossless, so any codec or plumbing defect
+    breaks the value hash."""
+    from giraph_spark.multimodal import (
+        decode_image,
+        image_features,
+        synth_png_corpus,
     )
-    decoded = decode_image(docs, "key", "data", 16, 16, 3)
+
+    imgs = synth_png_corpus(
+        spark, _MEDIA_N, _MEDIA_W, _MEDIA_H, _MEDIA_C, _MEDIA_COEFFS
+    )
+    decoded = decode_image(imgs, "key", "data", _MEDIA_W, _MEDIA_H, _MEDIA_C)
     return image_features(decoded).select(
         "key", F.round(F.element_at("mean", 1), 6).alias("mean_c0"),
         F.element_at("histogram", 1).alias("hist_0"),
     )
+
+
+def _media_features_sql(
+    n: int, w: int, h: int, c: int, coeffs: tuple[int, int, int, int]
+) -> str:
+    a, b, cc, d = coeffs
+    return f"""WITH px AS MATERIALIZED (
+  SELECT k.range AS key, y.range AS y, x.range AS x, ch.range AS ch,
+         ((({a} * k.range + {b} * y.range + {cc} * x.range + {d} * ch.range)
+           % 256))::BIGINT AS v
+  FROM range(0, {n}) k, range(0, {h}) y, range(0, {w}) x, range(0, {c}) ch),
+mean0 AS (
+  SELECT key, sum(v)::DOUBLE / {w * h} AS m FROM px WHERE ch = 0 GROUP BY key),
+luma AS (
+  SELECT key, y, x, sum(v)::DOUBLE / {c} AS l FROM px GROUP BY key, y, x),
+hist0 AS (
+  SELECT key,
+         count(*) FILTER (WHERE least(floor(l / 32), 7) = 0)::BIGINT AS h0
+  FROM luma GROUP BY key)
+SELECT CAST(m.key AS VARCHAR) AS key, round(m.m, 6) AS mean_c0, h.h0 AS hist_0
+FROM mean0 m JOIN hist0 h ON h.key = m.key"""
 
 
 # --- corpus-native queries: the synthetic corpus is materialized ONCE to
@@ -4034,34 +4254,44 @@ WHERE round(n_shared / (sa.sz + sb.sz - n_shared), 6) >= 0.12"""
 
 def q_streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming ingest: the corpus pages replayed as a file
-    stream (availableNow drain), links extracted per micro-batch and
-    rolled up to per-host counts. Engine-only rows check (streaming is
-    not SQL-expressible for the oracle; batch-equivalence is pytest-
-    gated in test_multimodal_streaming.py)."""
+    stream (availableNow drain, 4 files per micro-batch), links
+    extracted per micro-batch and rolled up to per-host counts. The
+    stream drains the SAME deterministic corpus parquet the batch
+    queries use, so the final rollup gets a full DuckDB oracle (round 2
+    left this rows-only): availableNow over a static directory is
+    exactly-once, so stream-total == batch-total by contract, and the
+    oracle replays the batch side in SQL."""
     import os
-    import tempfile
 
-    from giraph_spark.corpus import host_of, synth_corpus
+    from giraph_spark.corpus import host_of
     from giraph_spark.streaming import (
         read_page_stream,
         run_stream_to_memory,
         streaming_link_extract,
     )
 
-    pages = synth_corpus(spark, n_pages=2000, seed=42)
-    d = tempfile.mkdtemp(prefix="gs_stream_")
-    pages.write.mode("overwrite").parquet(d + "/pages")
-    stream = read_page_stream(spark, d + "/pages", max_files_per_trigger=4)
+    _, path = _corpus_pages(spark)
+    stream = read_page_stream(spark, path, max_files_per_trigger=4)
     name = "stream_links_" + os.urandom(4).hex()
     run_stream_to_memory(streaming_link_extract(stream), name)
-    out = (
+    return (
         spark.table(name)
         .select(host_of(F.col("href")).alias("host"))
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("n_links"))
     )
-    # drain fully before the temp dir goes away with the session
-    return spark.createDataFrame(out.collect(), out.schema)
+
+
+def _streaming_extract_sql(path: str) -> str:
+    parts = _corpus_prologue(path)[:3]  # pages -> links -> res
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT regexp_extract(href, '^https?://([^/]+)', 1) AS host,
+       count(*)::BIGINT AS n_links
+FROM res GROUP BY host"""
+    )
 
 
 def q_corpus_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4799,8 +5029,8 @@ LEFT JOIN tcnt t ON t.id = v.id
 JOIN deg d ON d.id = v.id""",
         "k_core": _k_core_sql(20, 8),
         "k_truss": _k_truss_sql(4, 8),
-        "coreness": _coreness_sql(8, 21, 8, 34),
-        "trussness": _trussness_sql({3: 4, 4: 6, 5: 4}),
+        "coreness": _coreness_sql(_coreness_bounds()),
+        "trussness": _trussness_sql(_trussness_bounds()),
         "watts_strogatz": _watts_strogatz_sql(512, 4, 0.1, 7),
         "reciprocity": f"""WITH {_GRAPH},
 dd AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
@@ -4934,7 +5164,7 @@ SELECT rank::BIGINT AS rank, id, neighbor_id FROM r WHERE rank <= 3""",
         "pq_encode": _pq_encode_sql(2),
         "pq_topk": _pq_topk_sql(2, 5, 2),
         "cosine_near_dup": _COSINE_PAIRS_SQL,
-        "cosine_near_dup_lsh": _COSINE_PAIRS_SQL,
+        "cosine_near_dup_lsh": _cosine_lsh_sql(0.4, 64, 32, 16, 42),
         "coarsen": f"""WITH {_GRAPH}
 SELECT (src % 64) AS src, (dst % 64) AS dst, count(*)::BIGINT AS weight
 FROM edges GROUP BY (src % 64), (dst % 64)""",
@@ -4963,6 +5193,10 @@ FROM documents""",
         "corpus_extract_check": _corpus_extract_sql(_CORPUS_PATH),
         "corpus_pagerank": _corpus_pagerank_sql(_CORPUS_PATH, 10),
         "corpus_wcc": _corpus_wcc_sql(_CORPUS_PATH),
+        "media_features": _media_features_sql(
+            _MEDIA_N, _MEDIA_W, _MEDIA_H, _MEDIA_C, _MEDIA_COEFFS
+        ),
+        "streaming_extract": _streaming_extract_sql(_CORPUS_PATH),
         "corpus_host_graph": _corpus_host_graph_sql(_CORPUS_PATH),
         "corpus_host_rank": _corpus_host_rank_sql(_CORPUS_PATH, 10),
         "corpus_trustrank": _corpus_trustrank_sql(_CORPUS_PATH, 10),

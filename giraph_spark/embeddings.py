@@ -17,6 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# fixed-point scale for portable (engine-independent) LSH sign bits:
+# floor(x * 2^20) is exact on any IEEE-754 engine because a power-of-two
+# scaling of a float32-widened-to-double is exact
+QUANT_SCALE = 1 << 20
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -294,6 +299,17 @@ def hyperplane_signatures(
     similarity s collide in one band with prob ((1 - acos(s)/pi) ** r),
     r = planes/bands. Returns (vec_id, band, bucket) — one row per band,
     all JVM-side arithmetic (no shuffle until the caller groups buckets).
+
+    The dot is computed on *integer-quantized* components
+    (floor(x * 2^20) as long), so the sign bit is exact integer
+    arithmetic: bit-reproducible across summation orders, retried tasks,
+    and engines (the replay oracle computes the identical buckets in
+    SQL). A float fold's last-ulp noise can flip the sign of a
+    near-orthogonal plane dot and silently move a vector between
+    buckets; quantization error (~1e-6 relative) only perturbs which
+    side of the plane a genuinely borderline vector lands on, which the
+    LSH family is insensitive to. Quantized magnitudes are ~2^20 * |x|,
+    so the long accumulator is overflow-safe up to dim ~ 2^40.
     """
     import numpy as np
 
@@ -302,9 +318,23 @@ def hyperplane_signatures(
     r = planes // bands
     if r * bands != planes:
         raise ValueError(f"planes ({planes}) must divide evenly into bands ({bands})")
-    v = F.col(vec_col)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(QUANT_SCALE))).cast("long"),
+    )
     bits = [
-        (_dot(v, F.array(*[F.lit(float(x)) for x in h[p]])) >= 0).cast("long")
+        (
+            F.aggregate(
+                F.zip_with(
+                    q,
+                    F.array(*[F.lit(int(x)).cast("long") for x in h[p]]),
+                    lambda a, s: a * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, t: acc + t,
+            )
+            >= 0
+        ).cast("long")
         for p in range(planes)
     ]
     bucket_cols = []

@@ -7,12 +7,17 @@ partition, columnar transfer, no per-row Python). This module makes the
 Spark-side plumbing real — schemas, batch iteration, partition-preserving
 transforms — while the actual codec is pluggable:
 
-- if ``PIL`` is importable, ``decode_image`` uses it;
-- otherwise it falls back to a **deterministic fake decoder** (clearly
-  marked: ``FAKE_DECODER = True``) that synthesizes a pixel buffer as a
-  pure function of the input bytes. The container for this project ships
-  no media libraries, so tests exercise the fake path; the real path is
-  the same code with the codec swapped.
+- **PNG bytes decode for real** via :mod:`giraph_spark.png_codec`
+  (pure Python + stdlib zlib — signature/CRC/IHDR parsing, IDAT
+  inflate, full filter reconstruction). No external library needed.
+- if ``PIL`` is importable, other formats (JPEG/GIF/...) use it;
+- otherwise non-PNG formats fall back to a **deterministic fake
+  decoder** (clearly marked: ``FAKE_DECODER = True``) that synthesizes
+  a pixel buffer as a pure function of the input bytes. The container
+  ships no media libraries (re-probed round 3: PIL/imageio/cv2/
+  soundfile/librosa/av all absent), so JPEG stays on the fake path;
+  PNG is exercised end-to-end with the real codec and a value-checked
+  oracle (``media_features``).
 
 Format sniffing (``attach_media_metadata``) is real: magic-byte
 detection for PNG/JPEG/GIF/WAV/MP4, vectorized over the Arrow batch.
@@ -27,12 +32,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from giraph_spark.png_codec import decode_png, encode_png
+
+REAL_PNG_CODEC = True  # PNG decodes for real (pure stdlib); see png_codec
+
 try:  # pragma: no cover - not installed in this container
     from PIL import Image  # noqa: F401
 
     FAKE_DECODER = False
 except Exception:  # noqa: BLE001
-    FAKE_DECODER = True
+    FAKE_DECODER = True  # non-PNG formats only; PNG is always real
 
 _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "png"),
@@ -86,6 +95,22 @@ def _fake_pixels(data: bytes, width: int, height: int, channels: int) -> bytes:
     ).tobytes()
 
 
+def _fit_pixels(arr: np.ndarray, width: int, height: int, channels: int) -> bytes:
+    """Nearest-neighbor resize + channel adaptation of a decoded (h,w,c)
+    array to the requested uniform output shape (gray replicates into
+    extra channels; alpha/extras are dropped)."""
+    h, w, c = arr.shape
+    if (h, w) != (height, width):
+        ys = np.arange(height) * h // height
+        xs = np.arange(width) * w // width
+        arr = arr[ys[:, None], xs, :]
+    if c < channels:
+        arr = np.repeat(arr[:, :, :1], channels, axis=2)
+    elif c > channels:
+        arr = arr[:, :, :channels]
+    return np.ascontiguousarray(arr).tobytes()
+
+
 def decode_image(
     df: DataFrame,
     key_col: str,
@@ -96,7 +121,11 @@ def decode_image(
 ) -> DataFrame:
     """binary -> decoded pixel buffer rows (key, format, width, height,
     channels, pixels). Arrow-batched; partitioning of the input is
-    preserved (narrow transform — no shuffle)."""
+    preserved (narrow transform — no shuffle).
+
+    PNG bytes take the REAL decode path (:mod:`giraph_spark.png_codec`)
+    regardless of environment; other formats use PIL when importable,
+    else the marked deterministic fake."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         zero = bytes(width * height * channels)
@@ -105,22 +134,30 @@ def decode_image(
             # null guard: a null binary cell yields format=None + zero
             # pixels instead of a TypeError that fails the whole stage
             fmts = raws.map(lambda b: None if b is None else sniff_format(bytes(b)))
-            if FAKE_DECODER:
-                pix = raws.map(
-                    lambda b: zero
-                    if b is None
-                    else _fake_pixels(bytes(b), width, height, channels)
-                )
-            else:  # pragma: no cover - real codec path
-                import io
 
-                from PIL import Image as _I
+            def _decode(b) -> bytes:
+                if b is None:
+                    return zero
+                b = bytes(b)
+                if sniff_format(b) == "png":
+                    try:
+                        return _fit_pixels(decode_png(b), width, height, channels)
+                    except ValueError:
+                        # corrupt container: degrade to the deterministic
+                        # filler rather than failing the whole 100 TB stage
+                        pass
+                if not FAKE_DECODER:  # pragma: no cover - PIL path
+                    import io
 
-                def _decode(b: bytes) -> bytes:
-                    img = _I.open(io.BytesIO(b)).convert("RGB").resize((width, height))
+                    from PIL import Image as _I
+
+                    img = _I.open(io.BytesIO(b)).convert("RGB").resize(
+                        (width, height)
+                    )
                     return np.asarray(img, dtype=np.uint8).tobytes()
+                return _fake_pixels(b, width, height, channels)
 
-                pix = raws.map(_decode)
+            pix = raws.map(_decode)
             yield pd.DataFrame(
                 {
                     "key": pdf[key_col].astype(str),
@@ -133,6 +170,40 @@ def decode_image(
             )
 
     return df.select(key_col, binary_col).mapInPandas(gen, schema=DECODED_SCHEMA)
+
+
+def synth_png_corpus(
+    spark,
+    n: int,
+    width: int = 16,
+    height: int = 16,
+    channels: int = 3,
+    coeffs: tuple[int, int, int, int] = (7919, 131, 17, 101),
+) -> DataFrame:
+    """``n`` REAL PNG-encoded images whose pixel values follow a closed
+    form — pixel(k, y, x, ch) = (a*k + b*y + c*x + d*ch) mod 256 — so an
+    external SQL engine can derive expected features without a PNG
+    decoder: PNG is lossless, hence features(decode(encode(P))) ==
+    features(P) exactly, and any codec defect shows up as an oracle
+    mismatch. Returns (key string, data binary); generation is a narrow
+    mapInPandas over ``spark.range`` (embarrassingly parallel at any n).
+    """
+    a, b, c, d = coeffs
+    y = np.arange(height, dtype=np.int64)[:, None, None]
+    x = np.arange(width, dtype=np.int64)[None, :, None]
+    ch = np.arange(channels, dtype=np.int64)[None, None, :]
+    base = b * y + c * x + d * ch
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ks = pdf["id"].to_numpy(np.int64)
+            data = [
+                encode_png(((a * int(k) + base) % 256).astype(np.uint8))
+                for k in ks
+            ]
+            yield pd.DataFrame({"key": ks.astype(str), "data": data})
+
+    return spark.range(n).mapInPandas(gen, schema="key string, data binary")
 
 
 def image_features(decoded: DataFrame) -> DataFrame:

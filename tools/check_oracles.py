@@ -39,6 +39,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # decomposition-oracle unroll bounds are measured from the sweep's
+    # own SF (see __spark_entry__._oracle_sf_dir)
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entry_mod
     from giraph_spark.session import get_spark
 
