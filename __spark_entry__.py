@@ -2802,6 +2802,182 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_seqfile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop SequenceFile vertex IO, driver-gated: the demo graph's
+    out-degrees written as (LongWritable id, value) records via
+    write_sequence_vertices, read back via read_sequence_vertices — the
+    round-trip must reproduce the parquet-path degree oracle
+    (SequenceFileVertexInputFormat.java analog, legacy-ingest tier)."""
+    import shutil
+    import tempfile
+
+    from giraph_spark.io_formats import (
+        read_sequence_vertices,
+        write_sequence_vertices,
+    )
+
+    d = tempfile.mkdtemp(prefix="gs_seq_")
+    try:
+        deg = out_degrees(demo_edges(spark, sf_dir)).select(
+            F.col("src").alias("id"),
+            F.col("out_degree").cast("long").alias("value"),
+        )
+        shutil.rmtree(d + "/seq", ignore_errors=True)
+        write_sequence_vertices(deg, d + "/seq")
+        rt = read_sequence_vertices(spark, d + "/seq", value_type="long")
+        out = rt.select("id", F.col("value").alias("out_degree"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_json_base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base64-JSON vertex IO, driver-gated: demo graph serialized via
+    write_json_base64_vertices (base64 of '[id, value, [[dst, w], ...]]'
+    per line — JsonBase64VertexInputFormat.java's framing), re-parsed via
+    read_json_base64_vertices, out-degrees over the round-trip."""
+    import shutil
+    import tempfile
+
+    from giraph_spark.graph import vertices_from_edges
+    from giraph_spark.io_formats import (
+        read_json_base64_vertices,
+        write_json_base64_vertices,
+    )
+
+    d = tempfile.mkdtemp(prefix="gs_b64_")
+    try:
+        e = demo_edges(spark, sf_dir)
+        verts = vertices_from_edges(e).withColumn("value", F.lit(0.0))
+        write_json_base64_vertices(verts, e.withColumn("weight", F.lit(1.0)), d + "/v")
+        _, rt = read_json_base64_vertices(spark, d + "/v")
+        out = out_degrees(rt).select(
+            F.col("src").alias("id"),
+            F.col("out_degree").cast("long").alias("out_degree"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-table semantics (Iceberg-style, on parquet manifests),
+    driver-gated: crawl 1 = even doc_ids committed as snapshot 1, crawl 2
+    appended as snapshot 2, a cleanup overwrite (n_chars >= 200) as
+    snapshot 3 — then per-lang doc counts read AT EACH SNAPSHOT via time
+    travel. Exercises commit/append/overwrite/read-at-id end-to-end; the
+    oracle recomputes all three states from the base table.
+
+    Reference analog: the catalog-table input surface
+    (giraph-hcatalog/.../HCatalogVertexInputFormat.java); north-rule
+    'Iceberg corpus' contract (Iceberg runtime unavailable offline —
+    see storage.py snapshot-table notes)."""
+    import shutil
+    import tempfile
+
+    from giraph_spark import storage
+
+    loc = tempfile.mkdtemp(prefix="gs_snap_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        storage.snapshot_write(docs.where("doc_id % 2 = 0"), loc, "docs")
+        storage.snapshot_write(
+            docs.where("doc_id % 2 = 1"), loc, "docs", mode="append"
+        )
+        storage.snapshot_write(
+            docs.where("n_chars >= 200"), loc, "docs", mode="overwrite"
+        )
+
+        def counts(sid: int, name: str) -> DataFrame:
+            return (
+                storage.snapshot_read(spark, loc, "docs", sid)
+                .groupBy("lang")
+                .agg(F.count(F.lit(1)).cast("long").alias(name))
+            )
+
+        out = (
+            counts(1, "n_snap1")
+            .join(counts(2, "n_snap2"), "lang", "full")
+            .join(counts(3, "n_snap3"), "lang", "full")
+            .select(
+                "lang",
+                F.coalesce("n_snap1", F.lit(0)).alias("n_snap1"),
+                F.coalesce("n_snap2", F.lit(0)).alias("n_snap2"),
+                F.coalesce("n_snap3", F.lit(0)).alias("n_snap3"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+_SNAPSHOT_TIME_TRAVEL_SQL = """
+SELECT lang,
+       coalesce(sum(CASE WHEN doc_id % 2 = 0 THEN 1 END), 0)::BIGINT AS n_snap1,
+       count(*)::BIGINT AS n_snap2,
+       coalesce(sum(CASE WHEN n_chars >= 200 THEN 1 END), 0)::BIGINT AS n_snap3
+FROM documents GROUP BY lang
+""".strip()
+
+
+def q_partition_mapping_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapping-store partitioner vs hash on the host-clustered corpus
+    page graph: one row per strategy with total edges and cut edges
+    (messages that cross partitions at cluster scale). The mapping places
+    every page of a site on the site's partition
+    (LongByteMappingStore.java:48 + LongMappingStorePartitionerFactory —
+    the reference's precomputed-placement locality story), so same-site
+    links are never cut; uniform hash cuts ~ (P-1)/P of them. Page ids
+    are parsed from the URLs (portable), P=8."""
+    from giraph_spark.corpus import extract_links
+    from giraph_spark.storage import partition_quality
+
+    pages, _ = _corpus_pages(spark)
+    n_sites = max(10, _CORPUS_N // 50)
+    links = extract_links(pages)
+    page_no = lambda c: F.regexp_extract(c, r"/p/(\d+)$", 1).cast("long")  # noqa: E731
+    edges = links.select(
+        page_no(F.col("url")).alias("src"), page_no(F.col("href")).alias("dst")
+    )
+
+    def total(assign, name):
+        q = partition_quality(edges, 8, assign=assign)
+        return q.agg(
+            F.lit(name).alias("strategy"),
+            F.sum("edges").cast("long").alias("edges"),
+            F.sum("cut_edges").cast("long").alias("cut_edges"),
+        )
+
+    by_hash = total(None, "hash")  # pmod(page, 8)
+    by_map = total(
+        lambda c: F.pmod(F.pmod(c, F.lit(n_sites)), F.lit(8)), "mapping"
+    )  # site = page % n_sites; site -> partition
+    return by_hash.unionByName(by_map)
+
+
+def _partition_mapping_quality_sql(path: str, n_sites: int) -> str:
+    return f"""WITH pages AS MATERIALIZED (
+  SELECT url, decode(html) AS h FROM read_parquet('{path}/*.parquet')),
+links AS (
+  SELECT url, unnest(regexp_extract_all(h, '<a\\s+href="([^"]*)"', 1)) AS href
+  FROM pages),
+e AS (
+  SELECT regexp_extract(url, '/p/(\\d+)$', 1)::BIGINT AS src,
+         regexp_extract(href, '/p/(\\d+)$', 1)::BIGINT AS dst
+  FROM links),
+m AS (
+  SELECT src % 8 AS hs, dst % 8 AS hd,
+         (src % {n_sites}) % 8 AS ms, (dst % {n_sites}) % 8 AS md
+  FROM e)
+SELECT 'hash' AS strategy, count(*)::BIGINT AS edges,
+       coalesce(sum(CASE WHEN hs <> hd THEN 1 END), 0)::BIGINT AS cut_edges
+FROM m
+UNION ALL
+SELECT 'mapping', count(*)::BIGINT,
+       coalesce(sum(CASE WHEN ms <> md THEN 1 END), 0)::BIGINT
+FROM m"""
+
+
 def q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out_degrees(demo_edges(spark, sf_dir)).select(
         F.col("src").alias("id"), F.col("out_degree").cast("long").alias("out_degree")
@@ -4878,6 +5054,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_list_roundtrip": q_edge_list_roundtrip,
         "adjacency_roundtrip": q_adjacency_roundtrip,
         "json_roundtrip": q_json_roundtrip,
+        "seqfile_roundtrip": q_seqfile_roundtrip,
+        "json_base64_roundtrip": q_json_base64_roundtrip,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "partition_mapping_quality": q_partition_mapping_quality,
         "in_degrees": q_in_degrees,
         "degree_stats": q_degree_stats,
         "symmetrize": q_symmetrize,
@@ -5103,6 +5283,14 @@ SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "json_roundtrip": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
+        "seqfile_roundtrip": f"""WITH {_GRAPH}
+SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
+        "json_base64_roundtrip": f"""WITH {_GRAPH}
+SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
+        "snapshot_time_travel": _SNAPSHOT_TIME_TRAVEL_SQL,
+        "partition_mapping_quality": _partition_mapping_quality_sql(
+            _CORPUS_PATH, max(10, _CORPUS_N // 50)
+        ),
         "in_degrees": f"""WITH {_GRAPH}
 SELECT dst AS id, count(*)::BIGINT AS in_degree FROM edges GROUP BY dst""",
         "degree_stats": f"""WITH {_GRAPH},

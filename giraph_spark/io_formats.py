@@ -95,26 +95,7 @@ def read_json_vertices(
     with regex (JVM-side); the homogeneous edge array parses with
     ``from_json``."""
     lines = spark.read.text(path).where(F.trim("value") != "")
-    num = r"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
-    parsed = lines.select(
-        F.regexp_extract("value", r"^\s*\[\s*(-?\d+)", 1).cast("long").alias("id"),
-        F.regexp_extract("value", r"^\s*\[\s*-?\d+\s*,\s*" + num, 1)
-        .cast("double")
-        .alias("val"),
-        F.from_json(
-            F.regexp_extract("value", r",\s*(\[.*\])\s*\]\s*$", 1),
-            "array<array<double>>",
-        ).alias("adj"),
-    )
-    vertices = parsed.select("id", F.col("val").alias("value"))
-    edges = parsed.select(
-        F.col("id").alias("src"), F.explode("adj").alias("e")
-    ).select(
-        "src",
-        F.element_at("e", 1).cast("long").alias("dst"),
-        F.element_at("e", 2).alias("weight"),
-    )
-    return vertices, edges
+    return _parse_json_vertex_lines(lines.select(F.col("value").alias("line")))
 
 
 def write_id_value_text(
@@ -197,6 +178,125 @@ def write_graphviz(
     body.coalesce(1).sortWithinPartitions("rk").select("line").write.mode(mode).text(
         path
     )
+
+
+def _parse_json_vertex_lines(parsed_src) -> tuple[DataFrame, DataFrame]:
+    """Shared tail of the JSON vertex grammar: a column ``line`` holding
+    ``[id, value, [[dst, w], ...]]`` → (vertices, edges)."""
+    num = r"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    parsed = parsed_src.select(
+        F.regexp_extract("line", r"^\s*\[\s*(-?\d+)", 1).cast("long").alias("id"),
+        F.regexp_extract("line", r"^\s*\[\s*-?\d+\s*,\s*" + num, 1)
+        .cast("double")
+        .alias("val"),
+        F.from_json(
+            F.regexp_extract("line", r",\s*(\[.*\])\s*\]\s*$", 1),
+            "array<array<double>>",
+        ).alias("adj"),
+    )
+    vertices = parsed.select("id", F.col("val").alias("value"))
+    edges = parsed.select(
+        F.col("id").alias("src"), F.explode("adj").alias("e")
+    ).select(
+        "src",
+        F.element_at("e", 1).cast("long").alias("dst"),
+        F.element_at("e", 2).alias("weight"),
+    )
+    return vertices, edges
+
+
+def read_json_base64_vertices(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Base64-wrapped JSON vertex lines → (vertices(id, value),
+    edges(src, dst, weight)).
+
+    Reference: ``io/formats/JsonBase64VertexFormat.java`` +
+    ``JsonBase64VertexInputFormat.java`` — each line is the base64 of a
+    serialized vertex, used where the transport mangles raw bytes
+    (Hadoop streaming). The payload grammar here is the portable JSON
+    vertex (``[id, value, [[dst, w], ...]]``) rather than Java Writable
+    binary — Writables are not a cross-engine format; the base64 framing
+    and line-per-vertex contract are what the format IS. Decode + parse
+    are a single JVM projection (``unbase64`` → regex/``from_json``), so
+    the scan stays whole-stage-codegen at any scale."""
+    lines = spark.read.text(path).where(F.trim("value") != "")
+    decoded = lines.select(
+        F.decode(F.unbase64(F.trim("value")), "UTF-8").alias("line")
+    )
+    return _parse_json_vertex_lines(decoded)
+
+
+def write_json_base64_vertices(
+    vertices: DataFrame,
+    edges: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Inverse of :func:`read_json_base64_vertices`:
+    ``base64("[id, value, [[dst, w], ...]]")`` per vertex
+    (JsonBase64VertexOutputFormat semantics). Vertices with no out-edges
+    emit an empty adjacency array."""
+    adj = edges.groupBy(F.col("src").alias("id")).agg(
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(
+                    F.collect_list(F.array(F.col("dst").cast("double"), F.col("weight").cast("double"))),
+                    lambda e: F.concat(
+                        F.lit("["),
+                        F.element_at(e, 1).cast("long").cast("string"),
+                        F.lit(","),
+                        F.element_at(e, 2).cast("string"),
+                        F.lit("]"),
+                    ),
+                ),
+                ",",
+            ),
+            F.lit("]"),
+        ).alias("adj_txt")
+    )
+    line = F.concat(
+        F.lit("["),
+        F.col("id").cast("string"),
+        F.lit(","),
+        F.col("value").cast("string"),
+        F.lit(","),
+        F.coalesce(F.col("adj_txt"), F.lit("[]")),
+        F.lit("]"),
+    )
+    # Spark's base64 may chunk per RFC 2045 (76-char lines + CRLF), which
+    # a line-oriented sink would split into unparseable fragments — strip
+    # the soft breaks; the payload itself is line-free by construction
+    b64 = F.regexp_replace(F.base64(F.encode(line, "UTF-8")), "[\\r\\n]", "")
+    out = vertices.join(adj, "id", "left").select(b64.alias("value"))
+    out.write.mode(mode).text(path)
+
+
+def read_sequence_vertices(
+    spark: SparkSession, path: str, value_type: str = "double"
+) -> DataFrame:
+    """Hadoop SequenceFile of (LongWritable id, Writable value) →
+    (id: long, value) — ``io/formats/SequenceFileVertexInputFormat.java``
+    (typed key/value splits handed to the vertex reader).
+
+    Uses the JVM sequenceFile reader (one task per split, exactly the
+    reference's input-split parallelism); records surface through the
+    Pyrolite bridge, so this is a LEGACY-INGEST path: at 100 TB read the
+    sequence files once, convert to parquet/bucketed tables, and run the
+    engine on those (the reference's users did the same migration —
+    SequenceFile is its compatibility tier, not its fast path)."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, f"id long, value {value_type}")
+
+
+def write_sequence_vertices(
+    df: DataFrame, path: str, id_col: str = "id", value_col: str = "value"
+) -> None:
+    """Write (id, value) as a Hadoop SequenceFile (LongWritable,
+    <value Writable>) — SequenceFileVertexOutputFormat analog; the
+    inverse of :func:`read_sequence_vertices`."""
+    df.select(id_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)
 
 
 def apply_input_filters(

@@ -338,6 +338,7 @@ def run_supersteps(
 
     current = vertices.persist()
     start_partitions = current.rdd.getNumPartitions()
+    est_partitions = start_partitions  # maintained from each cut's java RDD
     history: list[dict[str, Any]] = []
     converged = False
     last_saved = superstep if (resume and ckpt is not None) else None
@@ -384,8 +385,14 @@ def run_supersteps(
             persisted = current  # keep a handle: unpersist must target the
             # CACHED frame, not a coalesce built on top of it (coalesce is
             # a different plan — unpersisting it is a no-op and leaks)
-            n_parts = current.rdd.getNumPartitions()
-            if n_parts > 8 * max(start_partitions, 1):
+            # width probe: use the PREVIOUS cut's width (a plain java-RDD
+            # call) instead of converting `current` to a python RDD every
+            # superstep (DataFrame.rdd re-analyzes the plan and builds a
+            # pickle pipeline — a measurable slice of the per-superstep
+            # driver floor). One step of lag is safe: the bound is
+            # defensive with 8x headroom, so a union-growing step coalesces
+            # at the NEXT cut instead of this one.
+            if est_partitions > 8 * max(start_partitions, 1):
                 current = current.coalesce(start_partitions)
             cut = current.localCheckpoint(eager=True)
             persisted.unpersist()
@@ -396,6 +403,11 @@ def run_supersteps(
             if prev_cut_jrdd is not None:
                 prev_cut_jrdd.unpersist(False)
             prev_cut_jrdd = _checkpointed_jrdd(cut)
+            if prev_cut_jrdd is not None:
+                try:
+                    est_partitions = int(prev_cut_jrdd.getNumPartitions())
+                except Exception:  # noqa: BLE001
+                    est_partitions = start_partitions
 
         if halt is not None and halt(stats, superstep):
             converged = True

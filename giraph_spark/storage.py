@@ -24,6 +24,11 @@ cluster with an Iceberg catalog, ``write_bucketed_edges`` maps 1:1 onto
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -67,7 +72,11 @@ def read_bucketed_edges(spark: SparkSession, table: str) -> DataFrame:
 
 
 def partition_edges(
-    edges: DataFrame, num_partitions: int, strategy: str = "hash"
+    edges: DataFrame,
+    num_partitions: int,
+    strategy: str = "hash",
+    mapping: DataFrame | None = None,
+    broadcast_mapping: bool = False,
 ) -> DataFrame:
     """In-memory partitioner selection — the reference's pluggable
     partitioner factories:
@@ -77,16 +86,52 @@ def partition_edges(
     - ``range``: contiguous src ranges per partition, sampled bounds
       (``partition/SimpleRangePartitionerFactory.java:38-76``; tested by
       ``partition/SimpleRangePartitionFactoryTest.java``)
+    - ``mapping``: a precomputed id→partition placement table
+      (``mapping/LongByteMappingStore.java:48`` +
+      ``LongMappingStorePartitionerFactory.java`` — the reference's
+      locality story: an offline partitioner, e.g. host-clustered METIS
+      output, decides placement; workers look the owner up instead of
+      hashing). Pass ``mapping`` as (id, partition); edges missing from
+      it fall back to pmod(src, num_partitions) (the reference defaults
+      unmapped ids the same way).
 
-    Hash is the default for link graphs (url-hash ids are uniform);
-    range keeps adjacent ids co-located, which the reference uses when
-    ids encode locality (e.g. crawl order) — same tradeoff here.
+    Hash is the default for link graphs (url-hash ids are uniform); range
+    keeps adjacent ids co-located when ids encode locality (crawl order);
+    mapping buys minimum edge-cut when an offline placement exists.
+
+    Placement mechanics for ``mapping``: rows are exchanged on the looked-
+    up partition id, so all edges with equal pid are co-located in ONE
+    Spark partition — the whole locality benefit (their gather messages
+    never cross the wire). The physical slot is hash(pid) % P rather than
+    pid itself (Spark exposes no identity partitioner for DataFrames);
+    a rare pid collision merges two logical groups into one slot — a
+    balance blemish AQE splits back, never a correctness or locality
+    loss. Giraph's byte-array store maps 1:1 onto the broadcast join
+    (``broadcast_mapping=True``) when the vertex count fits a worker;
+    at web scale leave it False — a shuffle join on src with the mapping
+    pre-bucketed by id.
     """
     if strategy == "hash":
         return edges.repartition(num_partitions, "src")
     if strategy == "range":
         return edges.repartitionByRange(num_partitions, "src")
-    raise ValueError(f"unknown partition strategy {strategy!r} (hash|range)")
+    if strategy == "mapping":
+        if mapping is None:
+            raise ValueError("strategy='mapping' needs a mapping DataFrame")
+        m = mapping.select(F.col("id").alias("src"), F.col("partition").alias("_pid"))
+        if broadcast_mapping:
+            m = F.broadcast(m)
+        placed = (
+            edges.join(m, "src", "left")
+            .withColumn(
+                "_pid",
+                F.coalesce(F.col("_pid"), F.pmod(F.col("src"), F.lit(num_partitions))),
+            )
+            .repartition(num_partitions, "_pid")
+            .drop("_pid")
+        )
+        return placed
+    raise ValueError(f"unknown partition strategy {strategy!r} (hash|range|mapping)")
 
 
 def count_exchanges(df: DataFrame) -> int:
@@ -98,6 +143,174 @@ def count_exchanges(df: DataFrame) -> int:
         plan.count(f"Exchange {kind}")
         for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot tables — Iceberg-style commit/time-travel semantics on parquet.
+#
+# The north rule names an Iceberg corpus table; this container cannot load
+# the Iceberg runtime (verified 2026-08-19: `spark.jars.packages
+# org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0` fails offline
+# with "unresolved dependency ... not found" — no Maven access; no iceberg
+# jar anywhere on disk). The same TABLE CONTRACT is therefore implemented
+# directly, the way Iceberg itself does it: immutable parquet data files +
+# driver-written JSON manifests + an atomically-swapped version pointer.
+#
+#   {location}/{table}/metadata/snap-00001.json   one manifest per snapshot
+#   {location}/{table}/metadata/version-hint.txt  current snapshot (os.replace)
+#   {location}/{table}/data/s00001/               immutable parquet dir
+#
+# - append    = new manifest referencing parent's data dirs + the new one
+# - overwrite = new manifest referencing only the new dir (old files stay
+#               on disk until expired — snapshot isolation: readers of any
+#               committed snapshot never see paths disappear)
+# - read      = union of the chosen manifest's dirs (time travel by id)
+# - commit    = manifest write + version-hint rename; on a real lakehouse
+#               the rename is Iceberg's catalog CAS — manifests here are
+#               driver-side metadata exactly as in Iceberg, so the data
+#               path (executor-parallel parquet) is unchanged at 100 TB
+#
+# Reference analog: the catalog-backed input surface, HCatalog connector
+# (giraph-hcatalog/.../HCatalogVertexInputFormat.java) — Giraph reads the
+# graph out of a catalog table the crawl pipeline maintains; the snapshot
+# functions are that catalog, with the crawl-over-crawl history the corpus
+# story needs (read crawl k vs crawl k-1 = two `snapshot_read`s).
+# ---------------------------------------------------------------------------
+
+
+def _meta_dir(location: str, table: str) -> str:
+    return os.path.join(location, table, "metadata")
+
+
+def _manifest_path(location: str, table: str, snapshot_id: int) -> str:
+    return os.path.join(_meta_dir(location, table), f"snap-{snapshot_id:05d}.json")
+
+
+def current_snapshot_id(location: str, table: str) -> int | None:
+    """Committed snapshot id the version hint points at (None = no table)."""
+    hint = os.path.join(_meta_dir(location, table), "version-hint.txt")
+    try:
+        with open(hint, encoding="utf-8") as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _read_manifest(location: str, table: str, snapshot_id: int) -> dict:
+    try:
+        with open(_manifest_path(location, table, snapshot_id), encoding="utf-8") as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"snapshot {snapshot_id} of table {table!r} does not exist "
+            f"(expired or never committed)"
+        ) from None
+
+
+def snapshot_write(
+    df: DataFrame,
+    location: str,
+    table: str,
+    mode: str = "append",
+) -> int:
+    """Commit ``df`` as a new snapshot; returns the new snapshot id.
+
+    ``mode="append"`` adds the rows to the current snapshot's contents;
+    ``mode="overwrite"`` replaces them. Either way every previously
+    committed snapshot stays readable (time travel) until
+    ``snapshot_expire``.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"snapshot_write mode must be append|overwrite, got {mode!r}")
+    meta = _meta_dir(location, table)
+    os.makedirs(meta, exist_ok=True)
+    parent = current_snapshot_id(location, table)
+    new_id = 1 if parent is None else parent + 1
+    # write the immutable data dir FIRST (executor-parallel); the snapshot
+    # only becomes visible when the manifest + hint commit below succeed
+    data_rel = f"data/s{new_id:05d}"
+    df.write.mode("errorifexists").parquet(os.path.join(location, table, data_rel))
+    dirs = [data_rel]
+    if mode == "append" and parent is not None:
+        dirs = _read_manifest(location, table, parent)["data_dirs"] + dirs
+    manifest = {
+        "snapshot_id": new_id,
+        "parent_id": parent,
+        "operation": mode,
+        "data_dirs": dirs,
+        "committed_at": time.time(),
+        "schema": df.schema.jsonValue(),
+    }
+    mpath = _manifest_path(location, table, new_id)
+    with open(mpath + ".tmp", "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+    os.replace(mpath + ".tmp", mpath)
+    hint = os.path.join(meta, "version-hint.txt")
+    with open(hint + ".tmp", "w", encoding="utf-8") as f:
+        f.write(str(new_id))
+    os.replace(hint + ".tmp", hint)  # the commit point (Iceberg catalog CAS)
+    return new_id
+
+
+def snapshot_read(
+    spark: SparkSession,
+    location: str,
+    table: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read the table at a snapshot (default: current) — time travel."""
+    if snapshot_id is None:
+        snapshot_id = current_snapshot_id(location, table)
+        if snapshot_id is None:
+            raise ValueError(f"table {table!r} has no committed snapshot at {location}")
+    m = _read_manifest(location, table, snapshot_id)
+    paths = [os.path.join(location, table, d) for d in m["data_dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def snapshot_history(location: str, table: str) -> list[dict]:
+    """All committed manifests, oldest first (id, parent, operation,
+    committed_at, n data dirs) — the table's crawl-over-crawl timeline."""
+    meta = _meta_dir(location, table)
+    out = []
+    if not os.path.isdir(meta):
+        return out
+    for name in sorted(os.listdir(meta)):
+        if name.startswith("snap-") and name.endswith(".json"):
+            with open(os.path.join(meta, name), encoding="utf-8") as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "snapshot_id": m["snapshot_id"],
+                    "parent_id": m["parent_id"],
+                    "operation": m["operation"],
+                    "committed_at": m["committed_at"],
+                    "n_data_dirs": len(m["data_dirs"]),
+                }
+            )
+    return out
+
+
+def snapshot_expire(location: str, table: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` snapshots and delete data dirs
+    no surviving snapshot references; returns the expired ids. The current
+    snapshot is always kept."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    hist = snapshot_history(location, table)
+    if len(hist) <= keep_last:
+        return []
+    expired = [h["snapshot_id"] for h in hist[:-keep_last]]
+    kept = [h["snapshot_id"] for h in hist[-keep_last:]]
+    live: set[str] = set()
+    for sid in kept:
+        live.update(_read_manifest(location, table, sid)["data_dirs"])
+    for sid in expired:
+        dead = set(_read_manifest(location, table, sid)["data_dirs"]) - live
+        for d in dead:
+            shutil.rmtree(os.path.join(location, table, d), ignore_errors=True)
+        os.remove(_manifest_path(location, table, sid))
+    return expired
 
 
 def partition_quality(

@@ -93,6 +93,104 @@ def test_partition_edges_strategies(spark):
         partition_edges(e, 8, strategy="nope")
 
 
+def test_mapping_partitioner_colocates_and_falls_back(spark):
+    from giraph_spark.storage import partition_edges
+
+    e = spark.createDataFrame(
+        [(i % 20, (i * 7) % 20) for i in range(200)] + [(99, 3)],
+        "src long, dst long",
+    )
+    # host-clustered placement: ids 0-4 -> p0, 5-9 -> p1, ... (99 unmapped)
+    mapping = spark.range(20).select(
+        F.col("id"), (F.col("id") / 5).cast("long").alias("partition")
+    )
+    p = partition_edges(e, 4, strategy="mapping", mapping=mapping,
+                        broadcast_mapping=True)
+    assert p.count() == 201
+    assert sorted(p.columns) == ["dst", "src"]
+    assert p.rdd.getNumPartitions() == 4
+    # co-location contract: all srcs with the same mapped pid share ONE
+    # spark partition (unmapped 99 falls back to pmod(99, 4) = 3)
+    by_part = p.rdd.mapPartitions(
+        lambda it: [sorted({r.src for r in it})]
+    ).collect()
+    pid_of = {i: i // 5 for i in range(20)}
+    pid_of[99] = 99 % 4
+    # each logical pid lives in exactly ONE spark partition (collisions may
+    # merge two pids into the same slot — a balance blemish, never a split)
+    home: dict[int, int] = {}
+    for slot, srcs in enumerate(by_part):
+        for s in srcs:
+            pid = pid_of[s]
+            assert home.setdefault(pid, slot) == slot, (pid, home[pid], slot)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        partition_edges(e, 4, strategy="mapping")  # mapping frame required
+
+
+def test_snapshot_append_overwrite_time_travel(spark, tmp_path):
+    from giraph_spark import storage
+
+    loc = str(tmp_path / "wh")
+    a = spark.range(10).select("id", (F.col("id") * 2).alias("v"))
+    b = spark.range(10, 15).select("id", (F.col("id") * 2).alias("v"))
+    assert storage.snapshot_write(a, loc, "t") == 1
+    assert storage.snapshot_write(b, loc, "t", mode="append") == 2
+    assert storage.snapshot_write(a.where("id < 3"), loc, "t", mode="overwrite") == 3
+    assert storage.current_snapshot_id(loc, "t") == 3
+    # time travel: every committed snapshot readable, current is default
+    assert storage.snapshot_read(spark, loc, "t", 1).count() == 10
+    assert storage.snapshot_read(spark, loc, "t", 2).count() == 15
+    assert storage.snapshot_read(spark, loc, "t").count() == 3
+    hist = storage.snapshot_history(loc, "t")
+    assert [(h["snapshot_id"], h["operation"], h["parent_id"]) for h in hist] == [
+        (1, "append", None),  # first commit keeps the caller's mode verbatim
+        (2, "append", 1),
+        (3, "overwrite", 2),
+    ]
+
+
+def test_snapshot_expire_keeps_shared_files(spark, tmp_path):
+    from giraph_spark import storage
+
+    loc = str(tmp_path / "wh")
+    a = spark.range(10).select("id")
+    storage.snapshot_write(a, loc, "t")
+    storage.snapshot_write(spark.range(10, 12).select("id"), loc, "t", mode="append")
+    assert storage.snapshot_expire(loc, "t", keep_last=1) == [1]
+    # snapshot 2 (append) still references snapshot 1's data files — they
+    # must survive the expire (snapshot isolation)
+    assert storage.snapshot_read(spark, loc, "t", 2).count() == 12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expired or never committed"):
+        storage.snapshot_read(spark, loc, "t", 1)
+    with _pytest.raises(ValueError, match="no committed snapshot"):
+        storage.snapshot_read(spark, loc, "missing")
+
+
+def test_snapshot_read_is_plain_scan(spark, tmp_path):
+    # the snapshot layer must not change the data path: reading a
+    # snapshot is a plain multi-dir parquet scan (filter pushdown etc.
+    # all apply); schema comes back intact
+    from giraph_spark import storage
+
+    loc = str(tmp_path / "wh")
+    df = spark.range(100).select(
+        "id", (F.col("id") % 7).alias("k"), F.lit("x").alias("s")
+    )
+    storage.snapshot_write(df, loc, "t")
+    got = storage.snapshot_read(spark, loc, "t")
+    # parquet round-trips drop non-nullability; names + types must hold
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert got.where("k = 3").count() == df.where("k = 3").count()
+    plan = got.where("k = 3")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "IsNotNull(k)" in plan
+
+
 def test_partition_quality_metrics(spark):
     from giraph_spark.storage import partition_quality
 
