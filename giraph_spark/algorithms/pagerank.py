@@ -233,6 +233,8 @@ def pagerank_random_walk(
     max_supersteps: int = 30,
     tolerance: float | None = None,
     num_partitions: int | None = None,
+    salt: int | None = None,
+    pre_partitioned: bool = False,
     verbose: bool = False,
 ) -> PregelRun:
     """Random-walk normalized PageRank — the probability-distribution
@@ -248,6 +250,11 @@ def pagerank_random_walk(
     division is the reference's "rescale for numerical stability"
     (:126-129). Convergence = aggregated L1 of |p' - p| vs ``tolerance``.
     Ranks sum to 1 (vs the mass-N convention of ``pagerank``).
+
+    ``salt`` / ``pre_partitioned`` match :func:`pagerank` (two-level
+    gather on power-law hubs; skip the per-run exchange for a bucketed
+    input) — identical knob surface so a caller can swap variants at
+    100x scale without re-tuning.
     """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -257,9 +264,10 @@ def pagerank_random_walk(
         .join(deg, "src")
         .withColumn("weight", F.lit(1.0) / F.col("out_degree").cast("double"))
         .drop("out_degree")
-        .repartition(num_partitions, "src")
-        .persist()
     )
+    if not pre_partitioned:
+        e = e.repartition(num_partitions, "src")
+    e = e.persist()
     verts = vertices_from_edges(edges)
     sinks = verts.join(
         edges.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
@@ -294,7 +302,7 @@ def pagerank_random_walk(
             vertices.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"),
             "src",
         ).select("dst", (F.col("rank") * F.col("weight")).alias("msg"))
-        gathered = gather_messages(msgs, [("msg", "sum")], key="dst")
+        gathered = gather_messages(msgs, [("msg", "sum")], key="dst", salt=salt)
         base = (1.0 - t) * dang / n_vertices + t / n_vertices
         raw = (
             F.lit(1.0 - t) * F.coalesce(F.col("msg"), F.lit(0.0)) + F.lit(base)

@@ -90,6 +90,26 @@ def test_pagerank_random_walk_fixture(spark):
         assert got[v] == pytest.approx(p, abs=1e-2)  # EPSILON from RandomWalkTestUtils.java:28
 
 
+def test_pagerank_random_walk_knob_parity(spark):
+    # salt / pre_partitioned must not change results beyond FP add-order
+    # (salted two-level sum and a different partition layout both reorder
+    # the gather sum -> ulp-level drift only, same class as the 7dp oracle)
+    from giraph_spark.algorithms.pagerank import pagerank_random_walk
+
+    edges = _edges_df(
+        spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1), (6, 3), (2, 4)]
+    )
+    base = {r["id"]: r["rank"]
+            for r in pagerank_random_walk(spark, edges, max_supersteps=12).vertices.collect()}
+    for kw in ({"salt": 4}, {"pre_partitioned": True}):
+        got = {r["id"]: r["rank"]
+               for r in pagerank_random_walk(
+                   spark, edges, max_supersteps=12, **kw).vertices.collect()}
+        assert got.keys() == base.keys()
+        assert all(abs(got[k] - base[k]) <= 1e-12 * max(1.0, abs(base[k])) for k in base), kw
+    assert sum(base.values()) == pytest.approx(1.0, abs=1e-9)
+
+
 def test_pagerank_matches_numpy_oracle_exactly(spark):
     edges = _random_digraph(7, 60, 400)
     run = pagerank(spark, _edges_df(spark, edges), max_supersteps=40)
