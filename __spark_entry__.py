@@ -3833,6 +3833,73 @@ SELECT CAST(m.key AS VARCHAR) AS key, round(m.m, 6) AS mean_c0, h.h0 AS hist_0
 FROM mean0 m JOIN hist0 h ON h.key = m.key"""
 
 
+_BMP_N, _BMP_W, _BMP_H = 100, 16, 16
+_BMP_COEFFS = (6151, 89, 23, 71)  # independent of the PNG oracle's coeffs
+
+
+def q_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode end-to-end (second lossless image codec, pure
+    stdlib — bmp_codec.py): closed-form pixels -> encode_bmp -> binary
+    column -> decode_image (header validation, stride/padding, BGR ->
+    RGB, bottom-up rows) -> image_features. Same oracle construction as
+    ``media_features``: BMP is lossless, so the SQL side derives the
+    features from the pixel formula directly."""
+    from giraph_spark.multimodal import (
+        decode_image,
+        image_features,
+        synth_bmp_corpus,
+    )
+
+    imgs = synth_bmp_corpus(spark, _BMP_N, _BMP_W, _BMP_H, _BMP_COEFFS)
+    decoded = decode_image(imgs, "key", "data", _BMP_W, _BMP_H, 3)
+    return image_features(decoded).select(
+        "key", F.round(F.element_at("mean", 1), 6).alias("mean_c0"),
+        F.element_at("histogram", 1).alias("hist_0"),
+    )
+
+
+_AUDIO_N, _AUDIO_M, _AUDIO_RATE = 64, 400, 8000
+_AUDIO_COEFFS = (7919, 4093)
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV audio decode end-to-end (stdlib ``wave`` — audio.py):
+    closed-form int16 PCM samples -> encode_wav -> binary column ->
+    audio_features (RIFF parse, RMS / peak / zero-crossings over the
+    decoded signal). PCM is lossless, so the oracle recomputes the same
+    features from the sample formula in SQL — any codec or plumbing
+    defect breaks the value hash."""
+    from giraph_spark.audio import audio_features, synth_wav_corpus
+
+    clips = synth_wav_corpus(spark, _AUDIO_N, _AUDIO_M, _AUDIO_RATE, _AUDIO_COEFFS)
+    return audio_features(clips, "key", "data").select(
+        "key", "sample_rate", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        "peak", "zero_crossings",
+    )
+
+
+def _audio_features_sql(n: int, m: int, rate: int, coeffs: tuple[int, int]) -> str:
+    a, b = coeffs
+    return f"""WITH s AS MATERIALIZED (
+  SELECT k.range AS key, i.range AS i,
+         (({a} * k.range + {b} * i.range + 17) % 65536 - 32768)::BIGINT AS v
+  FROM range(0, {n}) k, range(0, {m}) i),
+lagd AS (
+  SELECT key, v, lag(v) OVER (PARTITION BY key ORDER BY i) AS prev FROM s)
+SELECT CAST(key AS VARCHAR) AS key,
+       {rate}::INTEGER AS sample_rate,
+       {m}::BIGINT AS n_samples,
+       round({m}::DOUBLE / {rate}, 6) AS duration_s,
+       round(sqrt(avg((v * v)::DOUBLE)), 6) AS rms,
+       max(abs(v))::BIGINT AS peak,
+       (count(*) FILTER (
+         WHERE prev IS NOT NULL AND (v >= 0) <> (prev >= 0)))::BIGINT
+         AS zero_crossings
+FROM lagd GROUP BY key"""
+
+
 # --- corpus-native queries: the synthetic corpus is materialized ONCE to
 # parquet so DuckDB reads the *identical* table and every query gets a
 # real oracle (extraction replayed in SQL; graph keyed by URL strings,
@@ -5114,6 +5181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat": q_rmat,
         "deadlock": q_deadlock,
         "media_features": q_media_features,
+        "bmp_features": q_bmp_features,
+        "audio_features": q_audio_features,
         "corpus_extract_check": q_corpus_extract_check,
         "corpus_pagerank": q_corpus_pagerank,
         "corpus_wcc": q_corpus_wcc,
@@ -5383,6 +5452,12 @@ FROM documents""",
         "corpus_wcc": _corpus_wcc_sql(_CORPUS_PATH),
         "media_features": _media_features_sql(
             _MEDIA_N, _MEDIA_W, _MEDIA_H, _MEDIA_C, _MEDIA_COEFFS
+        ),
+        "bmp_features": _media_features_sql(
+            _BMP_N, _BMP_W, _BMP_H, 3, _BMP_COEFFS
+        ),
+        "audio_features": _audio_features_sql(
+            _AUDIO_N, _AUDIO_M, _AUDIO_RATE, _AUDIO_COEFFS
         ),
         "streaming_extract": _streaming_extract_sql(_CORPUS_PATH),
         "corpus_host_graph": _corpus_host_graph_sql(_CORPUS_PATH),

@@ -10,14 +10,20 @@ transforms — while the actual codec is pluggable:
 - **PNG bytes decode for real** via :mod:`giraph_spark.png_codec`
   (pure Python + stdlib zlib — signature/CRC/IHDR parsing, IDAT
   inflate, full filter reconstruction). No external library needed.
+- **BMP bytes decode for real** via :mod:`giraph_spark.bmp_codec`
+  (24-bit BI_RGB: header validation, stride/padding, bottom-up and
+  top-down orientations). Also pure stdlib.
+- **WAV audio decodes for real** in :mod:`giraph_spark.audio`
+  (stdlib :mod:`wave` — RIFF parse, 16-bit PCM, multi-channel).
 - if ``PIL`` is importable, other formats (JPEG/GIF/...) use it;
-- otherwise non-PNG formats fall back to a **deterministic fake
+- otherwise the remaining formats fall back to a **deterministic fake
   decoder** (clearly marked: ``FAKE_DECODER = True``) that synthesizes
   a pixel buffer as a pure function of the input bytes. The container
   ships no media libraries (re-probed round 3: PIL/imageio/cv2/
   soundfile/librosa/av all absent), so JPEG stays on the fake path;
-  PNG is exercised end-to-end with the real codec and a value-checked
-  oracle (``media_features``).
+  PNG, BMP and WAV are exercised end-to-end with real codecs and
+  value-checked oracles (``media_features``, ``bmp_features``,
+  ``audio_features``).
 
 Format sniffing (``attach_media_metadata``) is real: magic-byte
 detection for PNG/JPEG/GIF/WAV/MP4, vectorized over the Arrow batch.
@@ -32,9 +38,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from giraph_spark.bmp_codec import decode_bmp, encode_bmp
 from giraph_spark.png_codec import decode_png, encode_png
 
 REAL_PNG_CODEC = True  # PNG decodes for real (pure stdlib); see png_codec
+REAL_BMP_CODEC = True  # BMP (24-bit BI_RGB) likewise; see bmp_codec
 
 try:  # pragma: no cover - not installed in this container
     from PIL import Image  # noqa: F401
@@ -49,6 +57,7 @@ _MAGIC = [
     (b"GIF87a", "gif"),
     (b"GIF89a", "gif"),
     (b"RIFF", "wav"),  # refined below (RIFF....WAVE)
+    (b"BM", "bmp"),
 ]
 
 METADATA_SCHEMA = "format string, n_bytes long"
@@ -139,9 +148,11 @@ def decode_image(
                 if b is None:
                     return zero
                 b = bytes(b)
-                if sniff_format(b) == "png":
+                fmt = sniff_format(b)
+                if fmt in ("png", "bmp"):
                     try:
-                        return _fit_pixels(decode_png(b), width, height, channels)
+                        raw = decode_png(b) if fmt == "png" else decode_bmp(b)
+                        return _fit_pixels(raw, width, height, channels)
                     except ValueError:
                         # corrupt container: degrade to the deterministic
                         # filler rather than failing the whole 100 TB stage
@@ -199,6 +210,35 @@ def synth_png_corpus(
             ks = pdf["id"].to_numpy(np.int64)
             data = [
                 encode_png(((a * int(k) + base) % 256).astype(np.uint8))
+                for k in ks
+            ]
+            yield pd.DataFrame({"key": ks.astype(str), "data": data})
+
+    return spark.range(n).mapInPandas(gen, schema="key string, data binary")
+
+
+def synth_bmp_corpus(
+    spark,
+    n: int,
+    width: int = 16,
+    height: int = 16,
+    coeffs: tuple[int, int, int, int] = (7919, 131, 17, 101),
+) -> DataFrame:
+    """Same closed-form pixel corpus as :func:`synth_png_corpus` but
+    encoded as REAL 24-bit BMP bytes (:mod:`giraph_spark.bmp_codec`) —
+    BMP is lossless, so decode(encode(P)) == P exactly and the same SQL
+    oracle applies. Channels fixed at 3 (24-bit format)."""
+    a, b, c, d = coeffs
+    y = np.arange(height, dtype=np.int64)[:, None, None]
+    x = np.arange(width, dtype=np.int64)[None, :, None]
+    ch = np.arange(3, dtype=np.int64)[None, None, :]
+    base = b * y + c * x + d * ch
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ks = pdf["id"].to_numpy(np.int64)
+            data = [
+                encode_bmp(((a * int(k) + base) % 256).astype(np.uint8))
                 for k in ks
             ]
             yield pd.DataFrame({"key": ks.astype(str), "data": data})

@@ -272,3 +272,47 @@ def test_incremental_pagerank_stream(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-5, k
+
+
+def test_sniff_bmp():
+    from giraph_spark.bmp_codec import encode_bmp
+
+    data = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    assert sniff_format(data) == "bmp"
+
+
+def test_decode_image_real_bmp_path(spark):
+    # closed-form pixels survive encode->decode->fit exactly (BMP lossless)
+    from giraph_spark.bmp_codec import encode_bmp
+    from giraph_spark.multimodal import synth_bmp_corpus
+
+    h = w = 8
+    arr = ((7 * np.arange(h)[:, None, None] + 3 * np.arange(w)[None, :, None]
+            + 11 * np.arange(3)[None, None, :]) % 256).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("k0", bytearray(encode_bmp(arr)))], "key string, data binary"
+    )
+    row = decode_image(df, "key", "data", w, h, 3).collect()[0]
+    assert row["format"] == "bmp"
+    got = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, arr)
+
+    # synth corpus goes through the same real path
+    corp = synth_bmp_corpus(spark, 3, w, h)
+    dec = {r["key"]: r for r in decode_image(corp, "key", "data", w, h, 3).collect()}
+    assert set(dec) == {"0", "1", "2"} and all(
+        r["format"] == "bmp" for r in dec.values()
+    )
+
+
+def test_decode_image_corrupt_bmp_degrades(spark):
+    from giraph_spark.bmp_codec import encode_bmp
+
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    df = spark.createDataFrame(
+        [("t", bytearray(good[:40]))], "key string, data binary"  # truncated
+    )
+    row = decode_image(df, "key", "data", 4, 4, 3).collect()[0]
+    # sniffs as bmp but decodes via the marked deterministic filler
+    assert row["format"] == "bmp"
+    assert len(row["pixels"]) == 4 * 4 * 3
