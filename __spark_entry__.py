@@ -3858,6 +3858,62 @@ def q_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GIF_N, _GIF_W, _GIF_H, _GIF_COLORS = 100, 16, 16, 61
+_GIF_COEFFS = (7919, 131, 17)
+_GIF_PAL = (5, 1, 7, 3, 11, 9)
+
+
+def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end (third lossless image codec, pure
+    Python LZW — gif_codec.py): closed-form palette pixels ->
+    encode_gif -> binary column -> decode_image (LZW inflate, color
+    table lookup, sub-block reassembly) -> image_features. The oracle
+    derives the same features from the index+palette formulas in SQL —
+    GIF is lossless for palettized images."""
+    from giraph_spark.multimodal import (
+        decode_image,
+        image_features,
+        synth_gif_corpus,
+    )
+
+    imgs = synth_gif_corpus(
+        spark, _GIF_N, _GIF_W, _GIF_H, _GIF_COLORS, _GIF_COEFFS, _GIF_PAL
+    )
+    decoded = decode_image(imgs, "key", "data", _GIF_W, _GIF_H, 3)
+    return image_features(decoded).select(
+        "key", F.round(F.element_at("mean", 1), 6).alias("mean_c0"),
+        F.element_at("histogram", 1).alias("hist_0"),
+    )
+
+
+def _gif_features_sql(
+    n: int, w: int, h: int, n_colors: int,
+    coeffs: tuple[int, int, int],
+    pal: tuple[int, int, int, int, int, int],
+) -> str:
+    a, b, c = coeffs
+    p, q, r, s, t, u = pal
+    return f"""WITH px AS MATERIALIZED (
+  SELECT k.range AS key, y.range AS y, x.range AS x,
+         (({a} * k.range + {b} * y.range + {c} * x.range) % {n_colors})
+           AS idx
+  FROM range(0, {n}) k, range(0, {h}) y, range(0, {w}) x),
+chans AS (
+  SELECT key, y, x,
+         ({p} * idx + {q}) % 256 AS c0,
+         ({r} * idx + {s}) % 256 AS c1,
+         ({t} * idx + {u}) % 256 AS c2
+  FROM px),
+mean0 AS (
+  SELECT key, sum(c0)::DOUBLE / {w * h} AS m FROM chans GROUP BY key),
+hist0 AS (
+  SELECT key, count(*) FILTER (
+    WHERE least(floor((c0 + c1 + c2)::DOUBLE / 3 / 32), 7) = 0)::BIGINT AS h0
+  FROM chans GROUP BY key)
+SELECT CAST(m.key AS VARCHAR) AS key, round(m.m, 6) AS mean_c0, h.h0 AS hist_0
+FROM mean0 m JOIN hist0 h ON h.key = m.key"""
+
+
 _AUDIO_N, _AUDIO_M, _AUDIO_RATE = 64, 400, 8000
 _AUDIO_COEFFS = (7919, 4093)
 
@@ -5182,6 +5238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deadlock": q_deadlock,
         "media_features": q_media_features,
         "bmp_features": q_bmp_features,
+        "gif_features": q_gif_features,
         "audio_features": q_audio_features,
         "corpus_extract_check": q_corpus_extract_check,
         "corpus_pagerank": q_corpus_pagerank,
@@ -5455,6 +5512,9 @@ FROM documents""",
         ),
         "bmp_features": _media_features_sql(
             _BMP_N, _BMP_W, _BMP_H, 3, _BMP_COEFFS
+        ),
+        "gif_features": _gif_features_sql(
+            _GIF_N, _GIF_W, _GIF_H, _GIF_COLORS, _GIF_COEFFS, _GIF_PAL
         ),
         "audio_features": _audio_features_sql(
             _AUDIO_N, _AUDIO_M, _AUDIO_RATE, _AUDIO_COEFFS

@@ -13,17 +13,21 @@ transforms — while the actual codec is pluggable:
 - **BMP bytes decode for real** via :mod:`giraph_spark.bmp_codec`
   (24-bit BI_RGB: header validation, stride/padding, bottom-up and
   top-down orientations). Also pure stdlib.
+- **GIF bytes decode for real** via :mod:`giraph_spark.gif_codec`
+  (variable-width LZW, color tables, sub-blocks, interlacing).
 - **WAV audio decodes for real** in :mod:`giraph_spark.audio`
   (stdlib :mod:`wave` — RIFF parse, 16-bit PCM, multi-channel).
-- if ``PIL`` is importable, other formats (JPEG/GIF/...) use it;
+- if ``PIL`` is importable, other formats (JPEG/...) use it;
 - otherwise the remaining formats fall back to a **deterministic fake
   decoder** (clearly marked: ``FAKE_DECODER = True``) that synthesizes
   a pixel buffer as a pure function of the input bytes. The container
   ships no media libraries (re-probed round 3: PIL/imageio/cv2/
-  soundfile/librosa/av all absent), so JPEG stays on the fake path;
-  PNG, BMP and WAV are exercised end-to-end with real codecs and
+  soundfile/librosa/av all absent), so of the sniffed formats only
+  JPEG remains on the fake path (lossy DCT — a closed-form SQL oracle
+  cannot value-check it the way the lossless formats are checked);
+  PNG, BMP, GIF and WAV are exercised end-to-end with real codecs and
   value-checked oracles (``media_features``, ``bmp_features``,
-  ``audio_features``).
+  ``gif_features``, ``audio_features``).
 
 Format sniffing (``attach_media_metadata``) is real: magic-byte
 detection for PNG/JPEG/GIF/WAV/MP4, vectorized over the Arrow batch.
@@ -39,10 +43,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from giraph_spark.bmp_codec import decode_bmp, encode_bmp
+from giraph_spark.gif_codec import decode_gif, encode_gif
 from giraph_spark.png_codec import decode_png, encode_png
 
 REAL_PNG_CODEC = True  # PNG decodes for real (pure stdlib); see png_codec
 REAL_BMP_CODEC = True  # BMP (24-bit BI_RGB) likewise; see bmp_codec
+REAL_GIF_CODEC = True  # GIF (LZW, interlace) likewise; see gif_codec
 
 try:  # pragma: no cover - not installed in this container
     from PIL import Image  # noqa: F401
@@ -149,10 +155,10 @@ def decode_image(
                     return zero
                 b = bytes(b)
                 fmt = sniff_format(b)
-                if fmt in ("png", "bmp"):
+                if fmt in ("png", "bmp", "gif"):
+                    real = {"png": decode_png, "bmp": decode_bmp, "gif": decode_gif}
                     try:
-                        raw = decode_png(b) if fmt == "png" else decode_bmp(b)
-                        return _fit_pixels(raw, width, height, channels)
+                        return _fit_pixels(real[fmt](b), width, height, channels)
                     except ValueError:
                         # corrupt container: degrade to the deterministic
                         # filler rather than failing the whole 100 TB stage
@@ -239,6 +245,44 @@ def synth_bmp_corpus(
             ks = pdf["id"].to_numpy(np.int64)
             data = [
                 encode_bmp(((a * int(k) + base) % 256).astype(np.uint8))
+                for k in ks
+            ]
+            yield pd.DataFrame({"key": ks.astype(str), "data": data})
+
+    return spark.range(n).mapInPandas(gen, schema="key string, data binary")
+
+
+def synth_gif_corpus(
+    spark,
+    n: int,
+    width: int = 16,
+    height: int = 16,
+    n_colors: int = 61,
+    coeffs: tuple[int, int, int] = (7919, 131, 17),
+    pal_coeffs: tuple[int, int, int, int, int, int] = (5, 1, 7, 3, 11, 9),
+) -> DataFrame:
+    """Closed-form PALETTE image corpus encoded as REAL GIF bytes
+    (:mod:`giraph_spark.gif_codec`): pixel index(k, y, x) =
+    (a*k + b*y + c*x) mod n_colors, palette[i] = ((p*i + q) mod 256,
+    (r*i + s) mod 256, (t*i + u) mod 256). GIF is lossless for
+    palettized images, so decode(encode(P)) == P exactly and a SQL
+    engine derives expected features from the two formulas without a
+    GIF decoder. Returns (key string, data binary)."""
+    a, b, c = coeffs
+    p, q, r, s, t, u = pal_coeffs
+    i = np.arange(n_colors, dtype=np.int64)
+    palette = np.stack(
+        [(p * i + q) % 256, (r * i + s) % 256, (t * i + u) % 256], axis=1
+    ).astype(np.uint8)
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    base = b * y + c * x
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ks = pdf["id"].to_numpy(np.int64)
+            data = [
+                encode_gif(palette[(a * int(k) + base) % n_colors])
                 for k in ks
             ]
             yield pd.DataFrame({"key": ks.astype(str), "data": data})

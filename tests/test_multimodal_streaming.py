@@ -316,3 +316,15 @@ def test_decode_image_corrupt_bmp_degrades(spark):
     # sniffs as bmp but decodes via the marked deterministic filler
     assert row["format"] == "bmp"
     assert len(row["pixels"]) == 4 * 4 * 3
+
+
+def test_decode_image_real_gif_path(spark):
+    from giraph_spark.multimodal import synth_gif_corpus
+
+    corp = synth_gif_corpus(spark, 2, 8, 8, n_colors=13)
+    rows = {r["key"]: r for r in decode_image(corp, "key", "data", 8, 8, 3).collect()}
+    assert set(rows) == {"0", "1"}
+    assert all(r["format"] == "gif" for r in rows.values())
+    # closed form: pixel(k=0, y=0, x=0) -> idx 0 -> palette (1, 3, 9)
+    got = np.frombuffer(rows["0"]["pixels"], dtype=np.uint8).reshape(8, 8, 3)
+    assert tuple(got[0, 0]) == (1, 3, 9)
