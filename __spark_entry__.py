@@ -2307,6 +2307,120 @@ FROM th0 h LEFT JOIN (
     )
 
 
+_DENSEST_EPS = 0.5  # factor 2*(1+eps) = 3.0, exactly representable in IEEE
+
+
+def q_densest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densest subgraph via the Bahmani-Kumar-Vassilvitskii (1+eps)
+    peel (densest.py) — per-vertex removal round + membership in the
+    best-density survivor set. Deterministic given eps, so the oracle
+    replays the identical peel as an unrolled CTE chain whose depth is
+    MEASURED from the data by a DuckDB-only probe (same protocol as the
+    coreness/trussness oracles)."""
+    from giraph_spark.algorithms.densest import densest_subgraph
+
+    res = densest_subgraph(
+        spark, demo_edges(spark, sf_dir), eps=_DENSEST_EPS, num_partitions=NP
+    )
+    return res.vertices.select("id", "removal_round", "in_densest")
+
+
+@_functools.lru_cache(maxsize=8)
+def _densest_rounds(sf_dir: str) -> int:
+    """Measure, with DuckDB alone, how many peel rounds the (1+eps)
+    densest-subgraph cascade needs on the demo graph of ``sf_dir`` —
+    the unroll depth for :func:`_densest_sql`."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    con.execute(
+        f"CREATE TEMP TABLE se AS WITH edges AS ({DEMO_EDGES_SQL}) "
+        "SELECT DISTINCT * FROM (SELECT src, dst FROM edges "
+        "UNION ALL SELECT dst AS src, src AS dst FROM edges)"
+    )
+    con.execute(
+        "CREATE TEMP TABLE alive AS SELECT src AS id FROM se "
+        "UNION SELECT dst FROM se"
+    )
+    factor = 2.0 * (1.0 + _DENSEST_EPS)
+    r = 0
+    while True:
+        n = con.execute("SELECT count(*) FROM alive").fetchone()[0]
+        if n == 0:
+            break
+        r += 1
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE dg AS "
+            "SELECT a.id, coalesce(c.cnt, 0) AS deg FROM alive a LEFT JOIN ("
+            "SELECT s.src AS id, count(*) AS cnt FROM se s "
+            "JOIN alive x ON x.id = s.src JOIN alive y ON y.id = s.dst "
+            "GROUP BY s.src) c ON c.id = a.id"
+        )
+        m2 = con.execute("SELECT coalesce(sum(deg), 0) FROM dg").fetchone()[0]
+        rho = (m2 / 2) / n
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE alive AS "
+            f"SELECT id FROM dg WHERE deg > {factor!r} * {rho!r}"
+        )
+    con.close()
+    return r
+
+
+def _densest_sql(rounds: int) -> str:
+    factor = repr(2.0 * (1.0 + _DENSEST_EPS))
+    parts = [
+        _GRAPH,
+        _SYM,
+        "a0 AS MATERIALIZED (SELECT id FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"a{i - 1}"
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT a.id, coalesce(c.cnt, 0) AS deg FROM {p} a LEFT JOIN (
+    SELECT s.src AS id, count(*) AS cnt FROM sym s
+    JOIN {p} x ON x.id = s.src JOIN {p} y ON y.id = s.dst
+    GROUP BY s.src) c ON c.id = a.id)"""
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT count(*) AS n, "
+            f"coalesce(sum(deg), 0) AS m2 FROM d{i})"
+        )
+        parts.append(
+            f"""rem{i} AS MATERIALIZED (
+  SELECT id FROM d{i}
+  WHERE deg <= {factor} * ((SELECT m2 FROM g{i})::DOUBLE / 2
+                           / (SELECT n FROM g{i})))"""
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT a.id FROM a{i - 1} a "
+            f"ANTI JOIN rem{i} r ON r.id = a.id)"
+        )
+    removal = "\nUNION ALL ".join(
+        f"SELECT id, {i} AS removal_round FROM rem{i}" for i in range(1, rounds + 1)
+    )
+    dens = "\nUNION ALL ".join(
+        f"SELECT {i} AS r, (SELECT m2 FROM g{i})::DOUBLE / 2 "
+        f"/ (SELECT n FROM g{i}) AS rho"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(f"removal AS MATERIALIZED ({removal})")
+    parts.append(f"dens AS ({dens})")
+    parts.append("best AS (SELECT r FROM dens ORDER BY rho DESC, r ASC LIMIT 1)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT v.id, rm.removal_round::INTEGER AS removal_round,
+       (rm.removal_round >= (SELECT r FROM best)) AS in_densest
+FROM verts v JOIN removal rm ON rm.id = v.id"""
+    )
+
+
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities, 5 power iterations (L2-normalized)."""
     from giraph_spark.algorithms.hits import hits
@@ -5139,6 +5253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "coreness": q_coreness,
         "trussness": q_trussness,
+        "densest": q_densest,
         "watts_strogatz": q_watts_strogatz,
         "reciprocity": q_reciprocity,
         "transitivity": q_transitivity,
@@ -5336,6 +5451,7 @@ JOIN deg d ON d.id = v.id""",
         "k_core": _k_core_sql(20, 8),
         "k_truss": _k_truss_sql(4, 8),
         "coreness": _coreness_sql(_coreness_bounds()),
+        "densest": _densest_sql(_densest_rounds(_oracle_sf_dir())),
         "trussness": _trussness_sql(_trussness_bounds()),
         "watts_strogatz": _watts_strogatz_sql(512, 4, 0.1, 7),
         "reciprocity": f"""WITH {_GRAPH},
