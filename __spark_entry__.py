@@ -973,6 +973,62 @@ FROM r{k + 1} a JOIN r{k} b ON b.id = a.id"""
     return head + "\n" + unions
 
 
+def _pagerank_incremental_sql(k1: int = 3, k2: int = 3,
+                              damping: float = 0.85) -> str:
+    """Warm-start replay: k1 unrolled iterations on the previous-crawl
+    edge subset ((src*31+dst)%10 < 8), carry the vector onto the full
+    vertex set (new vertices at 1.0), mass-rescale to N, then k2
+    unrolled full-graph iterations — the exact engine path of
+    ``pagerank(init_ranks=...)``."""
+    d = damping
+
+    def _iters(n: int, pre: str, edges: str, deg: str, nv: str,
+               r0: str) -> list[str]:
+        parts = []
+        for k in range(n):
+            rk = f"{pre}{k}" if k else r0
+            parts.append(f"""{pre}s{k} AS MATERIALIZED (
+  SELECT sum(r.rank) AS all_sum,
+         coalesce(sum(CASE WHEN d.src IS NULL THEN r.rank END), 0.0) AS sink_sum
+  FROM {rk} r LEFT JOIN {deg} d ON d.src = r.id
+)""")
+            parts.append(f"""{pre}m{k} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(r.rank / d.outdeg) AS msg
+  FROM {edges} e JOIN {rk} r ON r.id = e.src JOIN {deg} d ON d.src = e.src
+  GROUP BY e.dst
+)""")
+            parts.append(f"""{pre}{k + 1} AS MATERIALIZED (
+  SELECT v.id,
+         {d} * (coalesce(m.msg, 0.0) + (SELECT sink_sum FROM {pre}s{k}) / (SELECT n FROM {nv}))
+       + {1.0 - d} * (SELECT all_sum FROM {pre}s{k}) / (SELECT n FROM {nv}) AS rank
+  FROM {rk} v LEFT JOIN {pre}m{k} m ON m.id = v.id
+)""")
+        return parts
+
+    parts = [
+        _GRAPH,
+        "oe AS MATERIALIZED (SELECT src, dst FROM edges WHERE (src * 31 + dst) % 10 < 8)",
+        "ov AS MATERIALIZED (SELECT src AS id FROM oe UNION SELECT dst FROM oe)",
+        "odeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM oe GROUP BY src)",
+        "onv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM ov)",
+        "o0 AS MATERIALIZED (SELECT id, 1.0::DOUBLE AS rank FROM ov)",
+    ]
+    parts += _iters(k1, "o", "oe", "odeg", "onv", "o0")
+    parts += [
+        "deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src)",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        f"init AS MATERIALIZED (SELECT v.id, coalesce(o.rank, 1.0)::DOUBLE AS rank\n  FROM verts v LEFT JOIN o{k1} o ON o.id = v.id)",
+        "tot AS MATERIALIZED (SELECT sum(rank) AS s FROM init)",
+        "w0 AS MATERIALIZED (SELECT id, rank * ((SELECT n FROM nv) / (SELECT s FROM tot)) AS rank FROM init)",
+    ]
+    parts += _iters(k2, "w", "edges", "deg", "nv", "w0")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 7) AS rank FROM w{k2}"
+    )
+
+
 def _top_pages_per_host_sql(iters: int = 5) -> str:
     base = _pagerank_sql(iters)
     return f"""SELECT id, host, rank, rk::BIGINT AS rk FROM (
@@ -1455,6 +1511,24 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = pagerank(
         spark, demo_edges(spark, sf_dir), max_supersteps=5, num_partitions=NP
+    )
+    return run.vertices.select("id", F.round("rank", 7).alias("rank"))
+
+
+def q_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl incremental PageRank: iterate on the previous
+    crawl's edge subset ((src*31+dst)%10 < 8), then warm-start the
+    full-graph run from those ranks via ``init_ranks`` — vertices new to
+    this crawl seed at 1.0 and the carried vector is mass-rescaled to N
+    (pagerank.py init_ranks branch). Fixed supersteps both phases so the
+    oracle replays the exact path; the convergence-speed claim lives in
+    test_pagerank_init_ranks_warm_start."""
+    e = demo_edges(spark, sf_dir)
+    old = e.where((F.col("src") * 31 + F.col("dst")) % 10 < 8)
+    first = pagerank(spark, old, max_supersteps=3, num_partitions=NP)
+    run = pagerank(
+        spark, e, max_supersteps=3, init_ranks=first.vertices,
+        num_partitions=NP,
     )
     return run.vertices.select("id", F.round("rank", 7).alias("rank"))
 
@@ -2808,6 +2882,27 @@ def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_weight(demo_edges(spark, sf_dir))
     source = e.select(F.least(F.min("src"), F.min("dst")).alias("m")).collect()[0]["m"]
     run = sssp(spark, e, int(source), num_partitions=NP)
+    return run.vertices.where(F.col("distance") != float("inf")).select(
+        "id", F.round("distance", 6).alias("distance")
+    )
+
+
+def q_sssp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SSSP after an edge-add delta: distances on the
+    previous crawl's subset ((src*31+dst)%10 < 8) warm-start the
+    full-graph run (init_dists upper bounds + the delta's src vertices
+    as the initial relax frontier). Fixpoint equals the cold full-graph
+    run — the same oracle as `sssp`."""
+    e = with_weight(demo_edges(spark, sf_dir))
+    source = e.select(F.least(F.min("src"), F.min("dst")).alias("m")).collect()[0]["m"]
+    pred = (F.col("src") * 31 + F.col("dst")) % 10 < 8
+    first = sssp(spark, e.where(pred), int(source), num_partitions=NP)
+    run = sssp(
+        spark, e, int(source),
+        init_dists=first.vertices,
+        init_frontier=e.where(~pred).select("src"),
+        num_partitions=NP,
+    )
     return run.vertices.where(F.col("distance") != float("inf")).select(
         "id", F.round("distance", 6).alias("distance")
     )
@@ -5229,6 +5324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_pages_per_host": q_top_pages_per_host,
         "pagerank_convergence": q_pagerank_convergence,
         "pagerank_bucketed": q_pagerank_bucketed,
+        "pagerank_incremental": q_pagerank_incremental,
         "pagerank_salted": q_pagerank_salted,
         "pagerank_randomwalk": q_pagerank_randomwalk,
         "pagerank_weighted": q_pagerank_weighted,
@@ -5287,6 +5383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gnn_agg": q_gnn_agg,
         "partition_quality": q_partition_quality,
         "sssp": q_sssp,
+        "sssp_incremental": q_sssp_incremental,
         "bfs": q_bfs,
         "out_degrees": q_out_degrees,
         "edge_list_roundtrip": q_edge_list_roundtrip,
@@ -5381,6 +5478,7 @@ def oracle_sql() -> dict[str, str]:
         "top_pages_per_host": _top_pages_per_host_sql(5),
         "pagerank_convergence": _pagerank_convergence_sql(5),
         "pagerank_bucketed": _pagerank_sql(5),
+        "pagerank_incremental": _pagerank_incremental_sql(3, 3),
         "pagerank_salted": _pagerank_sql(5),
         "pagerank_randomwalk": _rw_pagerank_sql(8),
         "pagerank_weighted": _pagerank_weighted_sql(4),
@@ -5516,6 +5614,7 @@ FROM deg""",
         "gnn_agg": _GNN_AGG_SQL,
         "partition_quality": _PARTITION_QUALITY_SQL,
         "sssp": _sssp_sql(30),
+        "sssp_incremental": _sssp_sql(30),
         "bfs": _bfs_sql(15),
         "out_degrees": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",

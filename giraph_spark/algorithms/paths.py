@@ -37,11 +37,21 @@ def sssp(
     weight_col: str | None = "weight",
     max_supersteps: int = 50,
     num_partitions: int | None = None,
+    init_dists: DataFrame | None = None,
+    init_frontier: DataFrame | None = None,
     verbose: bool = False,
 ) -> PregelRun:
     """Result ``vertices``: (id, distance) — unreachable stays +Infinity.
 
     With ``weight_col=None`` every edge has weight 1.0 (= weighted BFS).
+
+    ``init_dists`` (id, distance) warm-starts from a previous run — the
+    incremental path after edges are ADDED (shortest distances only
+    decrease, so old distances stay valid upper bounds and relaxation
+    from them reaches the same fixpoint). ``init_frontier`` (first
+    column = vertex ids) names the vertices to relax in superstep 1 —
+    for an edge delta, pass ``delta.select("src")``: a decrease can only
+    originate at a new edge's source, then cascades normally.
     """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -57,9 +67,34 @@ def sssp(
         F.when(F.col("id").isin(sources), F.lit(0.0)).otherwise(F.lit(_INF)).alias("distance"),
         F.col("id").isin(sources).alias("changed"),
     )
+    if init_dists is not None:
+        state = state.join(
+            init_dists.select("id", F.col("distance").alias("_warm")), "id", "left"
+        ).select(
+            "id",
+            F.least("distance", F.coalesce("_warm", F.lit(_INF))).alias("distance"),
+            "changed",
+        )
+    if init_frontier is not None:
+        fr = (
+            init_frontier.select(
+                F.col(init_frontier.columns[0]).cast("long").alias("id")
+            )
+            .distinct()
+            .withColumn("_f", F.lit(True))
+        )
+        state = state.join(fr, "id", "left").select(
+            "id",
+            "distance",
+            (F.col("changed") | F.coalesce("_f", F.lit(False))).alias("changed"),
+        )
 
     def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
-        frontier = vertices.where("changed").select(F.col("id").alias("src"), "distance")
+        # inf-distance frontier vertices (possible under init_frontier)
+        # would only scatter inf messages — skip them
+        frontier = vertices.where(
+            F.col("changed") & (F.col("distance") != _INF)
+        ).select(F.col("id").alias("src"), "distance")
         msgs = e.join(frontier.hint("shuffle_hash"), "src").select(
             "dst", (F.col("distance") + F.col("w")).alias("msg")
         )

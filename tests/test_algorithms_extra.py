@@ -1132,3 +1132,30 @@ def test_triangle_delta_matches_recount(spark):
     r = triangle_delta(old_df, add_df).collect()[0]
     want = triangle_count(new_df) - triangle_count(old_df)
     assert r.added_triangles == want and want > 0
+
+
+def test_sssp_incremental_warm_start(spark):
+    """Warm-started SSSP after an edge-add delta reaches the exact cold
+    fixpoint: old distances stay valid upper bounds (edges only added)
+    and the delta's src vertices seed the relax frontier, so decreases
+    cascade without re-relaxing the unchanged region."""
+    from giraph_spark.algorithms.paths import sssp
+
+    n = 120
+    rows = sorted({((i * 7 + 1) % n, (i * 11 + 3) % n, (i % 4) + 1)
+                   for i in range(500)})
+    rows = [r for r in rows if r[0] != r[1]]
+    e = spark.createDataFrame(rows, "src long, dst long, weight long")
+    src0 = e.agg({"src": "min"}).collect()[0][0]
+    old = e.where("(src*31+dst)%10 < 8")
+    delta = e.where("(src*31+dst)%10 >= 8")
+
+    first = sssp(spark, old, int(src0))
+    warm = sssp(spark, e, int(src0), init_dists=first.vertices,
+                init_frontier=delta.select("src"))
+    cold = sssp(spark, e, int(src0))
+    a = {r.id: r.distance for r in warm.vertices.collect()}
+    b = {r.id: r.distance for r in cold.vertices.collect()}
+    assert a == b
+    # warm run only propagates the delta's effect
+    assert warm.supersteps <= cold.supersteps + 1
