@@ -195,6 +195,10 @@ def run_mutable_supersteps(
     superstep = 0
     prev_v_cut = None  # java RDDs behind the previous lineage cuts —
     prev_e_cut = None  # released explicitly (unpersist() won't free them)
+    # fixed-shape superstep plans: adaptive re-planning only adds driver
+    # latency here (see run_supersteps for the measured A/B)
+    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     while superstep < max_supersteps:
         t0 = time.time()
         new_v, stats, changes, msg_targets = step(v, e, superstep)
@@ -247,6 +251,7 @@ def run_mutable_supersteps(
         if halt is not None and halt(stats, superstep):
             converged = True
             break
+    spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
     run = PregelRun(vertices=v, supersteps=superstep, converged=converged, history=history)
     run.edges = e  # type: ignore[attr-defined]
     return run

@@ -339,86 +339,98 @@ def run_supersteps(
     current = vertices.persist()
     start_partitions = current.rdd.getNumPartitions()
     est_partitions = start_partitions  # maintained from each cut's java RDD
+    # AQE off for the loop: superstep plans are fixed-shape (explicit
+    # shuffle_hash hints, explicit partition counts, salting for skew),
+    # so adaptive re-planning adds only its latency — AQE materializes
+    # query stages one at a time with a driver re-plan between them,
+    # measured ~60ms/superstep at sf0.1 (interleaved 5-rep A/B medians:
+    # 490 -> 433 ms/superstep). Restored after the loop so one-shot
+    # analytics queries keep AQE's skew-join safety net.
+    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     history: list[dict[str, Any]] = []
     converged = False
     last_saved = superstep if (resume and ckpt is not None) else None
     prev_cut_jrdd = None  # java RDD behind the previous lineage cut
     if hooks is not None and hooks.pre_application is not None:
         hooks.pre_application(current)
-    while superstep < max_supersteps:
-        t0 = time.time()
-        if hooks is not None and hooks.pre_superstep is not None:
-            hooks.pre_superstep(current, superstep)
-        new_vertices, stats = step(current, superstep)
-        new_vertices = new_vertices.persist()
-        if not stats:  # ensure materialization even if step ran no action
-            stats = {"rows": new_vertices.count()}
-        stats = dict(stats)
-        stats["superstep"] = superstep
-        stats["seconds"] = time.time() - t0
-        if hooks is not None and hooks.post_superstep is not None:
-            hooks.post_superstep(new_vertices, superstep, stats)
-        history.append(stats)
-        if verbose:
-            print(f"[pregel] superstep={superstep} {stats}")
+    try:
+        while superstep < max_supersteps:
+            t0 = time.time()
+            if hooks is not None and hooks.pre_superstep is not None:
+                hooks.pre_superstep(current, superstep)
+            new_vertices, stats = step(current, superstep)
+            new_vertices = new_vertices.persist()
+            if not stats:  # ensure materialization even if step ran no action
+                stats = {"rows": new_vertices.count()}
+            stats = dict(stats)
+            stats["superstep"] = superstep
+            stats["seconds"] = time.time() - t0
+            if hooks is not None and hooks.post_superstep is not None:
+                hooks.post_superstep(new_vertices, superstep, stats)
+            history.append(stats)
+            if verbose:
+                print(f"[pregel] superstep={superstep} {stats}")
 
-        superstep += 1
-        current.unpersist()
-        current = new_vertices
-
-        if ckpt is not None and ckpt.should_save(superstep):
-            reloaded = ckpt.save(current, superstep, stats)
-            last_saved = superstep
+            superstep += 1
             current.unpersist()
-            current = reloaded.persist()
-        elif lineage_cut_interval and superstep % lineage_cut_interval == 0:
-            # bound Catalyst analysis time across iterations (risk register:
-            # iterative-plan blowup; Giraph analog: checkpoint frequency).
-            # Measured: without the cut, analysis grows ~+3s/superstep on a
-            # 16M-edge graph, while the cut itself reuses the cached
-            # partitions and costs well under a second — hence every step.
-            # defensive width bound: a step that unions frames (narrow
-            # union sums partition counts) would otherwise compound the
-            # width superstep over superstep until the cut materializes
-            # tens of thousands of tiny blocks; coalesce is narrow (no
-            # shuffle) and a no-op while the width stays sane
-            persisted = current  # keep a handle: unpersist must target the
-            # CACHED frame, not a coalesce built on top of it (coalesce is
-            # a different plan — unpersisting it is a no-op and leaks)
-            # width probe: use the PREVIOUS cut's width (a plain java-RDD
-            # call) instead of converting `current` to a python RDD every
-            # superstep (DataFrame.rdd re-analyzes the plan and builds a
-            # pickle pipeline — a measurable slice of the per-superstep
-            # driver floor). One step of lag is safe: the bound is
-            # defensive with 8x headroom, so a union-growing step coalesces
-            # at the NEXT cut instead of this one.
-            if est_partitions > 8 * max(start_partitions, 1):
-                current = current.coalesce(start_partitions)
-            cut = current.localCheckpoint(eager=True)
-            persisted.unpersist()
-            current = cut
-            # release the PREVIOUS cut's checkpointed RDD: unlike persist(),
-            # localCheckpoint blocks are not freed by DataFrame.unpersist,
-            # so a long run would otherwise hold every superstep's state
-            if prev_cut_jrdd is not None:
-                prev_cut_jrdd.unpersist(False)
-            prev_cut_jrdd = _checkpointed_jrdd(cut)
-            if prev_cut_jrdd is not None:
-                try:
-                    est_partitions = int(prev_cut_jrdd.getNumPartitions())
-                except Exception:  # noqa: BLE001
-                    est_partitions = start_partitions
+            current = new_vertices
 
-        if halt is not None and halt(stats, superstep):
-            converged = True
-            break
+            if ckpt is not None and ckpt.should_save(superstep):
+                reloaded = ckpt.save(current, superstep, stats)
+                last_saved = superstep
+                current.unpersist()
+                current = reloaded.persist()
+            elif lineage_cut_interval and superstep % lineage_cut_interval == 0:
+                # bound Catalyst analysis time across iterations (risk register:
+                # iterative-plan blowup; Giraph analog: checkpoint frequency).
+                # Measured: without the cut, analysis grows ~+3s/superstep on a
+                # 16M-edge graph, while the cut itself reuses the cached
+                # partitions and costs well under a second — hence every step.
+                # defensive width bound: a step that unions frames (narrow
+                # union sums partition counts) would otherwise compound the
+                # width superstep over superstep until the cut materializes
+                # tens of thousands of tiny blocks; coalesce is narrow (no
+                # shuffle) and a no-op while the width stays sane
+                persisted = current  # keep a handle: unpersist must target the
+                # CACHED frame, not a coalesce built on top of it (coalesce is
+                # a different plan — unpersisting it is a no-op and leaks)
+                # width probe: use the PREVIOUS cut's width (a plain java-RDD
+                # call) instead of converting `current` to a python RDD every
+                # superstep (DataFrame.rdd re-analyzes the plan and builds a
+                # pickle pipeline — a measurable slice of the per-superstep
+                # driver floor). One step of lag is safe: the bound is
+                # defensive with 8x headroom, so a union-growing step coalesces
+                # at the NEXT cut instead of this one.
+                if est_partitions > 8 * max(start_partitions, 1):
+                    current = current.coalesce(start_partitions)
+                cut = current.localCheckpoint(eager=True)
+                persisted.unpersist()
+                current = cut
+                # release the PREVIOUS cut's checkpointed RDD: unlike persist(),
+                # localCheckpoint blocks are not freed by DataFrame.unpersist,
+                # so a long run would otherwise hold every superstep's state
+                if prev_cut_jrdd is not None:
+                    prev_cut_jrdd.unpersist(False)
+                prev_cut_jrdd = _checkpointed_jrdd(cut)
+                if prev_cut_jrdd is not None:
+                    try:
+                        est_partitions = int(prev_cut_jrdd.getNumPartitions())
+                    except Exception:  # noqa: BLE001
+                        est_partitions = start_partitions
 
-    # final snapshot — but never overwrite the directory the current state
-    # was just reloaded from (write-into-source)
-    if ckpt is not None and history and last_saved != superstep:
-        ckpt.save(current, superstep, history[-1])
-    if hooks is not None and hooks.post_application is not None:
-        hooks.post_application(current)
+            if halt is not None and halt(stats, superstep):
+                converged = True
+                break
+
+        # final snapshot — but never overwrite the directory the current state
+        # was just reloaded from (write-into-source)
+        if ckpt is not None and history and last_saved != superstep:
+            ckpt.save(current, superstep, history[-1])
+        if hooks is not None and hooks.post_application is not None:
+            hooks.post_application(current)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
     return PregelRun(
         vertices=current, supersteps=superstep, converged=converged, history=history
     )
