@@ -199,59 +199,61 @@ def run_mutable_supersteps(
     # latency here (see run_supersteps for the measured A/B)
     _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    while superstep < max_supersteps:
-        t0 = time.time()
-        new_v, stats, changes, msg_targets = step(v, e, superstep)
-        stats = dict(stats or {})
-        release_e = None  # superseded edge cut; freed only after new_v
-        if changes is not None and not changes.empty():
-            new_v, new_e = resolve_mutations(
-                new_v,
-                e,
-                changes,
-                message_targets=msg_targets,
-                default_value=default_value,
-                create_on_message=create_on_message,
-                recreate_removed_on_message=recreate_removed_on_message,
-            )
-            new_e = new_e.localCheckpoint(eager=True)
-            e.unpersist()
-            # do NOT release the superseded edge cut yet: new_v's lazy
-            # plan (built by step/resolver against the OLD e) has not
-            # materialized — freeing its blocks now would fail the
-            # new_v localCheckpoint below with "checkpoint block not found"
-            release_e = prev_e_cut
-            prev_e_cut = _checkpointed_jrdd(new_e)
-            e = new_e
-        elif create_on_message and msg_targets is not None:
-            new_v, _ = resolve_mutations(
-                new_v,
-                e,
-                GraphChanges(),
-                message_targets=msg_targets,
-                default_value=default_value,
-                recreate_removed_on_message=recreate_removed_on_message,
-            )
-        new_v = new_v.localCheckpoint(eager=True)
-        if release_e is not None:
-            release_e.unpersist(False)
-        if prev_v_cut is not None:
-            prev_v_cut.unpersist(False)
-        prev_v_cut = _checkpointed_jrdd(new_v)
-        if not stats:
-            stats["rows"] = new_v.count()
-        stats["superstep"] = superstep
-        stats["seconds"] = time.time() - t0
-        history.append(stats)
-        if verbose:
-            print(f"[mutable-pregel] superstep={superstep} {stats}")
-        v.unpersist()
-        v = new_v
-        superstep += 1
-        if halt is not None and halt(stats, superstep):
-            converged = True
-            break
-    spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+    try:
+        while superstep < max_supersteps:
+            t0 = time.time()
+            new_v, stats, changes, msg_targets = step(v, e, superstep)
+            stats = dict(stats or {})
+            release_e = None  # superseded edge cut; freed only after new_v
+            if changes is not None and not changes.empty():
+                new_v, new_e = resolve_mutations(
+                    new_v,
+                    e,
+                    changes,
+                    message_targets=msg_targets,
+                    default_value=default_value,
+                    create_on_message=create_on_message,
+                    recreate_removed_on_message=recreate_removed_on_message,
+                )
+                new_e = new_e.localCheckpoint(eager=True)
+                e.unpersist()
+                # do NOT release the superseded edge cut yet: new_v's lazy
+                # plan (built by step/resolver against the OLD e) has not
+                # materialized — freeing its blocks now would fail the
+                # new_v localCheckpoint below with "checkpoint block not found"
+                release_e = prev_e_cut
+                prev_e_cut = _checkpointed_jrdd(new_e)
+                e = new_e
+            elif create_on_message and msg_targets is not None:
+                new_v, _ = resolve_mutations(
+                    new_v,
+                    e,
+                    GraphChanges(),
+                    message_targets=msg_targets,
+                    default_value=default_value,
+                    recreate_removed_on_message=recreate_removed_on_message,
+                )
+            new_v = new_v.localCheckpoint(eager=True)
+            if release_e is not None:
+                release_e.unpersist(False)
+            if prev_v_cut is not None:
+                prev_v_cut.unpersist(False)
+            prev_v_cut = _checkpointed_jrdd(new_v)
+            if not stats:
+                stats["rows"] = new_v.count()
+            stats["superstep"] = superstep
+            stats["seconds"] = time.time() - t0
+            history.append(stats)
+            if verbose:
+                print(f"[mutable-pregel] superstep={superstep} {stats}")
+            v.unpersist()
+            v = new_v
+            superstep += 1
+            if halt is not None and halt(stats, superstep):
+                converged = True
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
     run = PregelRun(vertices=v, supersteps=superstep, converged=converged, history=history)
     run.edges = e  # type: ignore[attr-defined]
     return run
