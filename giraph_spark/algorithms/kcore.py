@@ -289,7 +289,7 @@ def trussness(
     edges: DataFrame,
     symmetrize_input: bool = True,
     num_partitions: int | None = None,
-    max_rounds: int = 300,
+    max_rounds: int = 4000,
 ) -> DataFrame:
     """Full truss decomposition: (u, v, trussness) per undirected edge,
     where trussness(e) is the largest k such that e survives k-truss
