@@ -290,6 +290,7 @@ def trussness(
     symmetrize_input: bool = True,
     num_partitions: int | None = None,
     max_rounds: int = 4000,
+    deep_cut_interval: int = 25,
 ) -> DataFrame:
     """Full truss decomposition: (u, v, trussness) per undirected edge,
     where trussness(e) is the largest k such that e survives k-truss
@@ -299,12 +300,27 @@ def trussness(
     The edge analog of ``coreness`` and the same ascending-k incremental
     shape: each k peels from the (k-1)-truss's edge set, each round one
     degeneracy-oriented triangle pass + one count action.
+
+    ``deep_cut_interval``: every N rounds the surviving edge set and the
+    accumulated result are round-tripped through parquet and re-read as
+    fresh file-backed leaves. A dense graph's deep k-ladder runs
+    hundreds of plan-build/localCheckpoint cycles in one driver; the
+    parquet deep cut resets ALL driver-side per-plan state (Catalyst
+    stats, codegen caches, checkpoint block bookkeeping) — a long sf0.1
+    decomposition run died with a driver OOM inside Catalyst statistics
+    estimation (BigInteger products in SizeInBytesOnlyStatsPlanVisitor
+    during a localCheckpoint's planning) before this existed; the file
+    round-trip costs ~1-2 s per interval and bounds that accumulation.
     """
+    import shutil
+    import tempfile
+
     from giraph_spark.algorithms.triangles import _oriented, _triangle_list_from
 
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cuts = LineageCuts()
+    deep_dir = tempfile.mkdtemp(prefix="giraph_truss_deepcut_")
     if symmetrize_input:
         from giraph_spark.graph import clean_symmetric
 
@@ -322,8 +338,36 @@ def trussness(
     result: DataFrame | None = None
     k = 2
     rounds_left = max_rounds
+    next_deep_cut = deep_cut_interval if deep_cut_interval else None
 
     while n > 0:
+        if (
+            next_deep_cut is not None
+            and max_rounds - rounds_left >= next_deep_cut
+        ):
+            next_deep_cut += deep_cut_interval
+            import os
+
+            p_half = os.path.join(deep_dir, f"half_{max_rounds - rounds_left}")
+            half.write.mode("overwrite").parquet(p_half)
+            cuts.release("half")
+            cuts.release("sym")
+            half = spark.read.parquet(p_half)
+            sym = cuts.cut(
+                half.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+                .union(
+                    half.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+                )
+                .repartition(num_partitions, "src"),
+                "sym",
+            )
+            if result is not None:
+                p_res = os.path.join(
+                    deep_dir, f"result_{max_rounds - rounds_left}"
+                )
+                result.write.mode("overwrite").parquet(p_res)
+                cuts.release("result")
+                result = spark.read.parquet(p_res)
         k += 1
         before = cuts.cut(half, "before")
         while True:
@@ -385,7 +429,8 @@ def trussness(
     if result is None:
         out = spark.createDataFrame([], "u long, v long, trussness long")
     else:
-        out = result.localCheckpoint(eager=True)
+        out = result.localCheckpoint(eager=True)  # before deep_dir removal
     for slot in ("sym", "half", "before", "result"):
         cuts.release(slot)
+    shutil.rmtree(deep_dir, ignore_errors=True)
     return out
