@@ -2972,6 +2972,52 @@ def q_adjacency_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_adjacency_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE side of the adjacency format
+    (AdjacencyListTextVertexOutputFormat.java:28-62 analog): the weighted
+    demo graph + per-vertex values written with
+    io_formats.write_adjacency (value + alternating dst/weight tokens),
+    re-parsed with read_adjacency(has_value, weighted), and reduced to
+    per-vertex (value, out_degree, weight_sum) — exact against the
+    parquet-path oracle, proving the text artifact loses nothing."""
+    import shutil
+    import tempfile
+
+    from giraph_spark.io_formats import read_adjacency, write_adjacency
+
+    d = tempfile.mkdtemp(prefix="gs_adjw_")
+    try:
+        e = with_weight(demo_edges(spark, sf_dir))
+        verts = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select("dst"))
+            .distinct()
+            .withColumn("value", (F.col("id") % 97).cast("double") / F.lit(2.0))
+        )
+        write_adjacency(
+            verts, e, d + "/adj", value_col="value", weight_col="weight"
+        )
+        rverts, redges = read_adjacency(
+            spark, d + "/adj", has_value=True, weighted=True
+        )
+        deg = redges.groupBy("src").agg(
+            F.count(F.lit(1)).alias("out_degree"),
+            F.round(F.sum("weight"), 6).alias("weight_sum"),
+        )
+        out = (
+            rverts.join(deg, rverts["id"] == deg["src"], "left")
+            .select(
+                "id",
+                "value",
+                F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+                F.coalesce("weight_sum", F.lit(0.0)).alias("weight_sum"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON vertex-format IO, driver-gated: demo edges serialized as
     '[id, value, [[dst, w], ...]]' lines (the reference's
@@ -3332,28 +3378,58 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash banded near-dup pairs (4 chunks, hamming <= 20 on the
-    60-bit signature — the synthetic docs are mostly distinct, so the
-    threshold is loosened from the production 8 to yield candidates)."""
+    """SimHash banded near-dup pairs (3 chunks = 20-bit bands, hamming
+    <= 20 on the 60-bit signature — the synthetic docs are mostly
+    distinct, so the threshold is loosened from the production 8 to
+    yield candidates). 20-bit bands are the scale default: 15-bit bands
+    collide near-quadratically on boilerplate-heavy corpora (measured
+    2.27M vs 0.78M candidates on the sf0.1 docs)."""
     from giraph_spark.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), max_hamming=20).select(
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=20, chunks=3).select(
         "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
     )
 
 
-def _simhash_pairs_sql(max_hamming: int = 20, chunks: int = 4) -> str:
+def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding with the hot-bucket cap (``max_bucket=50``): the
+    (chunk, value) buckets larger than the cap are dropped before the
+    self-join — the bound that keeps one templated bucket from costing
+    B^2/2 candidate pairs at corpus scale. Oracled exactly (the oracle
+    replays the same cap), so the recall trade is measured, not
+    asserted."""
+    from giraph_spark.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _docs(spark, sf_dir), max_hamming=20, chunks=3, max_bucket=50
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _simhash_pairs_sql(
+    max_hamming: int = 20, chunks: int = 3, max_bucket: int | None = None
+) -> str:
     width = SIMHASH_BITS // chunks
     mask = (1 << width) - 1
+    cap = (
+        f""",
+capped AS (
+  SELECT ch.* FROM ch
+  JOIN (SELECT chunk, val FROM ch GROUP BY chunk, val
+        HAVING count(*) <= {max_bucket}) ok
+  ON ok.chunk = ch.chunk AND ok.val = ch.val)"""
+        if max_bucket is not None
+        else ""
+    )
+    src = "capped" if max_bucket is not None else "ch"
     return f"""WITH s AS MATERIALIZED ({_simhash_sql()}),
 ch AS (
   SELECT doc_id, simhash, c.c AS chunk,
          (simhash >> (c.c * {width})) & {mask} AS val
-  FROM s, (SELECT unnest(range({chunks})) AS c) c),
+  FROM s, (SELECT unnest(range({chunks})) AS c) c){cap},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sa, b.simhash AS sb
-  FROM ch a JOIN ch b ON b.chunk = a.chunk AND b.val = a.val
+  FROM {src} a JOIN {src} b ON b.chunk = a.chunk AND b.val = a.val
                      AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"""
@@ -5388,6 +5464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degrees": q_out_degrees,
         "edge_list_roundtrip": q_edge_list_roundtrip,
         "adjacency_roundtrip": q_adjacency_roundtrip,
+        "adjacency_write_roundtrip": q_adjacency_write_roundtrip,
         "json_roundtrip": q_json_roundtrip,
         "seqfile_roundtrip": q_seqfile_roundtrip,
         "json_base64_roundtrip": q_json_base64_roundtrip,
@@ -5416,6 +5493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_eval": q_lsh_eval,
         "lsh_incremental": q_lsh_incremental,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_pairs_capped": q_simhash_pairs_capped,
         "dedup_clusters": q_dedup_clusters,
         "neighbor_topk": q_neighbor_topk,
         "simhash": q_simhash,
@@ -5622,6 +5700,16 @@ SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "adjacency_roundtrip": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
+        "adjacency_write_roundtrip": f"""WITH {_GRAPH},
+w AS (SELECT src, dst, CAST((src * 7 + dst * 13) % 3 + 1 AS DOUBLE) AS weight
+      FROM edges),
+deg AS (SELECT src, count(*)::BIGINT AS out_degree,
+               round(sum(weight), 6) AS weight_sum
+        FROM w GROUP BY src)
+SELECT v.id, CAST(v.id % 97 AS DOUBLE) / 2.0 AS value,
+       coalesce(d.out_degree, 0)::BIGINT AS out_degree,
+       coalesce(d.weight_sum, 0.0) AS weight_sum
+FROM verts v LEFT JOIN deg d ON d.src = v.id""",
         "json_roundtrip": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "seqfile_roundtrip": f"""WITH {_GRAPH}
@@ -5676,6 +5764,7 @@ SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id""",
         "lsh_eval": _lsh_eval_sql(),
         "lsh_incremental": _LSH_INCR_SQL,
         "simhash_pairs": _simhash_pairs_sql(),
+        "simhash_pairs_capped": _simhash_pairs_sql(max_bucket=50),
         "dedup_clusters": _dedup_clusters_sql(4),
         "neighbor_topk": f"""WITH {_GRAPH},
 r AS (

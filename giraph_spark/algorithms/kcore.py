@@ -284,6 +284,19 @@ def coreness(
     return out
 
 
+def _hadoop_rm(spark: SparkSession, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FileSystem API —
+    works for local paths AND shared filesystems (HDFS/S3A), unlike
+    ``shutil``. Best-effort: failures are swallowed (scratch cleanup)."""
+    try:
+        jvm = spark._jvm  # noqa: SLF001
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        fs.delete(hpath, True)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def trussness(
     spark: SparkSession,
     edges: DataFrame,
@@ -291,36 +304,62 @@ def trussness(
     num_partitions: int | None = None,
     max_rounds: int = 4000,
     deep_cut_interval: int = 25,
+    deep_cut_dir: str | None = None,
+    broadcast_frontier_max: int = 1_000_000,
 ) -> DataFrame:
     """Full truss decomposition: (u, v, trussness) per undirected edge,
     where trussness(e) is the largest k such that e survives k-truss
     peeling (triangle-free edges get the conventional 2, since the
     2-truss requires zero triangles).
 
-    The edge analog of ``coreness`` and the same ascending-k incremental
-    shape: each k peels from the (k-1)-truss's edge set, each round one
-    degeneracy-oriented triangle pass + one count action.
+    Incremental support maintenance (the delta economy of
+    ``triangle_delta``, reference support-counting anchor:
+    ``UndirectedTriangleCountingBlockFactory.java:126-145``): per-edge
+    triangle support is computed ONCE up front with the degeneracy-
+    oriented wedge join, then each peel round only enumerates the
+    triangles that pass through the just-removed edge frontier and
+    decrements the other edges of those triangles. Total wedge work over
+    the WHOLE decomposition is therefore one full triangle enumeration
+    (every edge is removed exactly once), versus one full enumeration
+    *per round* in the naive shape — the difference between a bounded
+    job and a non-starter on a dense 100 TB graph, and the fix for the
+    sf0.1 driver OOM the recount-per-round version hit.
 
-    ``deep_cut_interval``: every N rounds the surviving edge set and the
-    accumulated result are round-tripped through parquet and re-read as
-    fresh file-backed leaves. A dense graph's deep k-ladder runs
-    hundreds of plan-build/localCheckpoint cycles in one driver; the
-    parquet deep cut resets ALL driver-side per-plan state (Catalyst
-    stats, codegen caches, checkpoint block bookkeeping) — a long sf0.1
-    decomposition run died with a driver OOM inside Catalyst statistics
-    estimation (BigInteger products in SizeInBytesOnlyStatsPlanVisitor
-    during a localCheckpoint's planning) before this existed; the file
-    round-trip costs ~1-2 s per interval and bounds that accumulation.
+    Round shape: ``removed`` (support < k-2) is a small cascade
+    frontier, so the wedge probe broadcasts it against the partitioned
+    symmetric edge set (narrow, no shuffle of the big side; falls back
+    to a shuffle join above ``broadcast_frontier_max`` rows), dedupes
+    the affected triangles on their sorted vertex triple, and applies
+    the decrements with one (u, v)-keyed join. Triangle-free edges
+    (support 0 — the bulk of a web graph at k=3) skip the probe
+    entirely.
+
+    ``deep_cut_interval``: every N peel rounds (checked INSIDE the
+    cascade loop, so one long k-level cannot dodge it) the support table
+    and accumulated result are round-tripped through parquet under
+    ``deep_cut_dir`` and re-read as fresh file-backed leaves, resetting
+    driver-side per-plan state (Catalyst stats, codegen caches,
+    checkpoint bookkeeping) that hundreds of plan-build cycles
+    accumulate. ``deep_cut_dir`` defaults to the SparkContext checkpoint
+    dir when one is set (required on a multi-machine cluster — executors
+    cannot read the driver's local disk) and otherwise to a driver-local
+    temp dir, which is correct only for local[*] / single-host runs.
     """
-    import shutil
+    import os
     import tempfile
+    import uuid
 
     from giraph_spark.algorithms.triangles import _oriented, _triangle_list_from
 
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     cuts = LineageCuts()
-    deep_dir = tempfile.mkdtemp(prefix="giraph_truss_deepcut_")
+    if deep_cut_dir is None:
+        deep_cut_dir = spark.sparkContext.getCheckpointDir()
+    if deep_cut_dir is None:
+        deep_cut_dir = tempfile.mkdtemp(prefix="giraph_truss_deepcut_")
+    deep_dir = os.path.join(deep_cut_dir, f"truss_{uuid.uuid4().hex[:12]}")
+
     if symmetrize_input:
         from giraph_spark.graph import clean_symmetric
 
@@ -328,109 +367,141 @@ def trussness(
     else:
         sym0 = edges.select("src", "dst")
     sym = cuts.cut(sym0.repartition(num_partitions, "src"), "sym")
-    half = cuts.cut(
-        sym.where(F.col("src") < F.col("dst")).select(
-            F.col("src").alias("u"), F.col("dst").alias("v")
-        ),
-        "half",
+
+    # initial per-edge support: ONE degeneracy-oriented triangle pass
+    o = _oriented(sym, symmetrize_input=False)
+    tris = _triangle_list_from(o)
+    tri_edges = (
+        tris.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .union(
+            tris.select(F.least("a", "c").alias("u"), F.greatest("a", "c").alias("v"))
+        )
+        .union(
+            tris.select(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v"))
+        )
     )
-    n = half.count()
+    sup = cuts.cut(
+        sym.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support")),
+              ["u", "v"], "left")
+        .select("u", "v", F.coalesce("support", F.lit(0)).alias("support"))
+        .repartition(num_partitions, "u", "v"),
+        "sup",
+    )
+    n = sup.count()
     result: DataFrame | None = None
     k = 2
-    rounds_left = max_rounds
+    rounds = 0
     next_deep_cut = deep_cut_interval if deep_cut_interval else None
 
     while n > 0:
-        if (
-            next_deep_cut is not None
-            and max_rounds - rounds_left >= next_deep_cut
-        ):
-            next_deep_cut += deep_cut_interval
-            import os
-
-            p_half = os.path.join(deep_dir, f"half_{max_rounds - rounds_left}")
-            half.write.mode("overwrite").parquet(p_half)
-            cuts.release("half")
-            cuts.release("sym")
-            half = spark.read.parquet(p_half)
-            sym = cuts.cut(
-                half.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-                .union(
-                    half.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-                )
-                .repartition(num_partitions, "src"),
-                "sym",
-            )
-            if result is not None:
-                p_res = os.path.join(
-                    deep_dir, f"result_{max_rounds - rounds_left}"
-                )
-                result.write.mode("overwrite").parquet(p_res)
-                cuts.release("result")
-                result = spark.read.parquet(p_res)
         k += 1
-        before = cuts.cut(half, "before")
-        while True:
-            rounds_left -= 1
-            if rounds_left < 0:
+        while True:  # cascade at this k
+            rounds += 1
+            if rounds > max_rounds:
                 raise RuntimeError(
                     "trussness: round budget exhausted; raise max_rounds"
                 )
-            o = _oriented(sym, symmetrize_input=False)
-            tris = _triangle_list_from(o)
-            tri_edges = (
-                tris.select(
-                    F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            if next_deep_cut is not None and rounds >= next_deep_cut:
+                next_deep_cut += deep_cut_interval
+                p_sup = os.path.join(deep_dir, f"sup_{rounds}")
+                sup.write.mode("overwrite").parquet(p_sup)
+                cuts.release("sup")
+                cuts.release("sym")
+                sup = spark.read.parquet(p_sup)
+                sym = cuts.cut(
+                    sup.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+                    .union(sup.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+                    .repartition(num_partitions, "src"),
+                    "sym",
                 )
-                .union(
-                    tris.select(
-                        F.least("a", "c").alias("u"),
-                        F.greatest("a", "c").alias("v"),
-                    )
+                if result is not None:
+                    p_res = os.path.join(deep_dir, f"result_{rounds}")
+                    result.write.mode("overwrite").parquet(p_res)
+                    cuts.release("result")
+                    result = spark.read.parquet(p_res)
+                _hadoop_rm(
+                    spark,
+                    os.path.join(deep_dir, f"sup_{rounds - deep_cut_interval}"),
                 )
-                .union(
-                    tris.select(
-                        F.least("b", "c").alias("u"),
-                        F.greatest("b", "c").alias("v"),
-                    )
+                _hadoop_rm(
+                    spark,
+                    os.path.join(deep_dir, f"result_{rounds - deep_cut_interval}"),
                 )
+            removed = cuts.cut(
+                sup.where(F.col("support") < k - 2).select("u", "v", "support"),
+                "removed",
             )
-            sup = tri_edges.groupBy("u", "v").agg(
-                F.count(F.lit(1)).alias("support")
-            )
-            kept = half.join(sup, ["u", "v"], "left").where(
-                F.coalesce("support", F.lit(0)) >= k - 2
-            ).select("u", "v")
-            half = cuts.cut(kept, "half")
-            sym = cuts.cut(
-                half.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-                .union(
-                    half.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-                )
-                .repartition(num_partitions, "src"),
-                "sym",
-            )
-            n_kept = half.count()
-            if n_kept == n:
+            n_rm = removed.count()
+            if n_rm == 0:
                 break
-            n = n_kept
+            dropped = removed.select(
+                "u", "v", F.lit(k - 1).cast("long").alias("trussness")
+            )
+            result = cuts.cut(
+                dropped
+                if result is None
+                else result.union(dropped).coalesce(num_partitions),
+                "result",
+            )
+            # triangles through removed edges in the CURRENT graph:
+            # support-0 edges close nothing — skip them in the probe
+            frontier = removed.where(F.col("support") > 0).select("u", "v")
+            fr = F.broadcast(frontier) if n_rm <= broadcast_frontier_max else frontier
+            cand = (
+                fr.join(
+                    sym.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+                    "u",
+                )
+                .where(F.col("w") != F.col("v"))
+                .join(
+                    sup.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
+                    (F.least("v", "w") == F.col("_cu"))
+                    & (F.greatest("v", "w") == F.col("_cv")),
+                    "left_semi",
+                )
+            )
+            arr = F.array_sort(F.array("u", "v", "w"))
+            tri = cand.select(
+                arr[0].alias("x"), arr[1].alias("y"), arr[2].alias("z")
+            ).distinct()
+            dec = (
+                tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+                .union(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+                .union(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).alias("dcnt"))
+            )
+            rm_pairs = removed.select("u", "v")
+            rm_anti = F.broadcast(rm_pairs) if n_rm <= broadcast_frontier_max else rm_pairs
+            sup = cuts.cut(
+                sup.join(rm_anti, ["u", "v"], "left_anti")
+                .join(dec, ["u", "v"], "left")
+                .select(
+                    "u",
+                    "v",
+                    (F.col("support") - F.coalesce("dcnt", F.lit(0))).alias(
+                        "support"
+                    ),
+                )
+                .repartition(num_partitions, "u", "v"),
+                "sup",
+            )
+            rm_sym = rm_pairs.select(
+                F.col("u").alias("src"), F.col("v").alias("dst")
+            ).union(rm_pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+            rm_sym = F.broadcast(rm_sym) if n_rm <= broadcast_frontier_max else rm_sym
+            sym = cuts.cut(sym.join(rm_sym, ["src", "dst"], "left_anti"), "sym")
+            n -= n_rm
             if n == 0:
                 break
-        dropped = before.join(half, ["u", "v"], "left_anti").select(
-            "u", "v", F.lit(k - 1).cast("long").alias("trussness")
-        )
-        result = cuts.cut(
-            dropped
-            if result is None
-            else result.union(dropped).coalesce(num_partitions),
-            "result",
-        )
 
     if result is None:
         out = spark.createDataFrame([], "u long, v long, trussness long")
     else:
         out = result.localCheckpoint(eager=True)  # before deep_dir removal
-    for slot in ("sym", "half", "before", "result"):
+    for slot in ("sym", "sup", "removed", "result"):
         cuts.release(slot)
-    shutil.rmtree(deep_dir, ignore_errors=True)
+    _hadoop_rm(spark, deep_dir)
     return out

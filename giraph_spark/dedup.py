@@ -96,7 +96,14 @@ def minhash_signatures(docs: DataFrame, bands: int = 8, n: int = 3) -> DataFrame
     md5 hex is uniform, so the lexicographic min is a valid min-hash and
     is engine-portable (pure string comparison on lowercase hex).
     """
-    sh = shingles(docs, n)
+    return _minhash_signatures_from(shingles(docs, n), bands)
+
+
+def _minhash_signatures_from(sh: DataFrame, bands: int) -> DataFrame:
+    """Signature aggregation over a prebuilt (doc_id, shingle) table —
+    lets LSH pipelines persist the shingle table ONCE and reuse it for
+    both the signature and the Jaccard-verify phases (shingling is the
+    dominant text cost; recomputing it doubled the LSH wall-clock)."""
     # all `bands` minima in ONE map-side-combinable groupBy pass: the
     # naive explode-by-band ships bands x |shingles| rows through the
     # shuffle; conditional min aggregates ship one partial row per
@@ -133,9 +140,14 @@ def minhash_lsh_pairs(
     Jaccard >= threshold. Returns (doc_a, doc_b, jaccard).
 
     At scale the bucket join touches only colliding docs — the classic
-    shingle -> minhash -> band -> bucket-join pipeline.
+    shingle -> minhash -> band -> bucket-join pipeline. The shingle
+    table is persisted across the signature and verify phases (it is by
+    far the most expensive input, scanned by both) and released before
+    returning; the returned pair table is eagerly materialized so the
+    release is safe.
     """
-    sig = minhash_signatures(docs, bands=bands, n=n)
+    sh = shingles(docs, n).persist()
+    sig = _minhash_signatures_from(sh, bands)
     a = sig.select(F.col("doc_id").alias("doc_a"), "band", "signature")
     b = sig.select(F.col("doc_id").alias("doc_b"), "band", "signature")
     cand = (
@@ -144,7 +156,6 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
@@ -166,7 +177,9 @@ def minhash_lsh_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out.select("doc_a", "doc_b", "jaccard")
+    out = out.select("doc_a", "doc_b", "jaccard").localCheckpoint(eager=True)
+    sh.unpersist()
+    return out
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
@@ -194,11 +207,33 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 8, chunks: int = 4) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    chunks: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash banding: candidates agree on >=1 of
     ``chunks`` signature chunks, verified by bit_count(xor) <= max_hamming.
 
     Returns (doc_a, doc_b, hamming).
+
+    Scale knobs (the bucket self-join is sum over buckets of size^2, so
+    one hot bucket is a quadratic blow-up at corpus scale):
+
+    - ``chunks`` sets the band width to ``SIMHASH_BITS // chunks`` bits;
+      the default 3 gives 20-bit bands. Bands NARROWER than ~16 bits
+      (chunks=4 -> 15 bits) collide near-quadratically on templated /
+      boilerplate-heavy corpora — measured on the synthetic sf0.1 docs,
+      15-bit bands produced 2.27M candidates from 5k docs vs 0.78M at 20
+      bits. Pigeonhole recall guarantee is only hamming <= chunks - 1
+      either way; beyond that banding is probabilistic, so prefer wider
+      bands and let the xor verify arbitrate.
+    - ``max_bucket`` (like ``max_df`` in :func:`jaccard_pairs`) drops
+      (chunk, value) buckets larger than the cap before the self-join —
+      a hot bucket of B docs costs B^2/2 pairs and carries little
+      discrimination; true near-dups usually still collide in another
+      chunk. None = exact banding (no cap).
     """
     sig = simhash_signatures(docs)
     width = SIMHASH_BITS // chunks
@@ -220,6 +255,15 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 8, chunks: int = 4) -> Dat
             )
         ).alias("cv"),
     ).select("doc_id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    if max_bucket is not None:
+        bucket_sizes = chunked.groupBy("chunk", "val").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        chunked = chunked.join(
+            bucket_sizes.where(F.col("_bsz") <= max_bucket).select("chunk", "val"),
+            ["chunk", "val"],
+            "left_semi",
+        )
     a = chunked.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "val"
     )
@@ -378,17 +422,17 @@ def minhash_lsh_incremental(
     the signature table is the persisted artifact and each day's batch
     joins against it by (band, signature), a plain hash join.
     """
-    sn = minhash_signatures(new_docs, bands=bands, n=n).select(
+    shn = shingles(new_docs, n).persist()
+    shi = shingles(index_docs, n).persist()
+    sn = _minhash_signatures_from(shn, bands).select(
         F.col("doc_id").alias("doc_new"), "band", "signature"
     )
-    si = minhash_signatures(index_docs, bands=bands, n=n).select(
+    si = _minhash_signatures_from(shi, bands).select(
         F.col("doc_id").alias("doc_idx"), "band", "signature"
     )
     cand = sn.join(si, ["band", "signature"]).select(
         "doc_new", "doc_idx"
     ).distinct()
-    shn = shingles(new_docs, n)
-    shi = shingles(index_docs, n)
     szn = shn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("szn"))
     szi = shi.groupBy("doc_id").agg(F.count(F.lit(1)).alias("szi"))
     inter = (
@@ -397,7 +441,7 @@ def minhash_lsh_incremental(
         .groupBy("doc_new", "doc_idx")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    return (
+    out = (
         cand.join(inter, ["doc_new", "doc_idx"], "left")
         .join(szn.select(F.col("doc_id").alias("doc_new"), "szn"), "doc_new")
         .join(szi.select(F.col("doc_id").alias("doc_idx"), "szi"), "doc_idx")
@@ -411,4 +455,8 @@ def minhash_lsh_incremental(
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_new", "doc_idx", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    shn.unpersist()
+    shi.unpersist()
+    return out

@@ -87,6 +87,53 @@ def read_adjacency(
     return vertices, edges
 
 
+def write_adjacency(
+    vertices: DataFrame,
+    edges: DataFrame,
+    path: str,
+    delimiter: str = "\t",
+    value_col: str | None = None,
+    weight_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``id [value] dst1 [w1] dst2 [w2] ...`` lines — the write
+    side of :func:`read_adjacency` and the reference's
+    ``io/formats/AdjacencyListTextVertexOutputFormat.java:28-62`` (one
+    line per vertex: id, value, then (target, edge value) pairs joined
+    by the delimiter). Vertices with no out-edges still emit a line, and
+    neighbors are sorted by dst so the text artifact is deterministic.
+
+    Distributed shape: ONE groupBy on src (map-side collect_list into
+    bounded per-vertex arrays), one left join back to the vertex table —
+    no driver materialization; each task writes its own part file.
+    """
+    ecols = [F.struct(F.col("dst"), F.col(weight_col).alias("w"))] if weight_col else [
+        F.struct(F.col("dst"))
+    ]
+    nbrs = edges.groupBy("src").agg(
+        F.array_sort(F.collect_list(*ecols)).alias("ns")
+    )
+    joined = vertices.join(nbrs, vertices["id"] == nbrs["src"], "left")
+    head = [F.col("id").cast("string")]
+    if value_col is not None:
+        head.append(F.col(value_col).cast("string"))
+    if weight_col:
+        flat = F.flatten(
+            F.transform(
+                "ns",
+                lambda s: F.array(
+                    s["dst"].cast("string"), s["w"].cast("string")
+                ),
+            )
+        )
+    else:
+        flat = F.transform("ns", lambda s: s["dst"].cast("string"))
+    toks = F.concat(F.array(*head), F.coalesce(flat, F.array().cast("array<string>")))
+    joined.select(F.array_join(toks, delimiter).alias("value")).write.mode(
+        mode
+    ).text(path)
+
+
 def read_json_vertices(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:

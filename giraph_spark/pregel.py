@@ -322,6 +322,15 @@ def run_supersteps(
     every k supersteps buys losing at most k supersteps of work, while
     the per-superstep local cut only bounds plan growth. local[*] runs
     can ignore this (one JVM = no partial loss).
+
+    Concurrency: the loop toggles the session-wide
+    ``spark.sql.adaptive.enabled`` conf for its duration (see the inline
+    rationale below) and assumes a SINGLE-THREADED driver — queries run
+    concurrently on the same SparkSession from other threads would
+    silently lose AQE's skew handling while a loop is active, and two
+    interleaved loops could restore a stale value. Run concurrent
+    driver-side work on a separate ``spark.newSession()`` clone (its conf
+    is independent) if that pattern is ever needed.
     """
     ckpt = (
         CheckpointManager(spark, checkpoint_dir, checkpoint_interval)
@@ -346,15 +355,17 @@ def run_supersteps(
     # measured ~60ms/superstep at sf0.1 (interleaved 5-rep A/B medians:
     # 490 -> 433 ms/superstep). Restored after the loop so one-shot
     # analytics queries keep AQE's skew-join safety net.
-    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     history: list[dict[str, Any]] = []
     converged = False
     last_saved = superstep if (resume and ckpt is not None) else None
     prev_cut_jrdd = None  # java RDD behind the previous lineage cut
-    if hooks is not None and hooks.pre_application is not None:
-        hooks.pre_application(current)
+    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        # inside the try so a raising hook cannot leak AQE=false into the
+        # shared session (the finally below always restores it)
+        if hooks is not None and hooks.pre_application is not None:
+            hooks.pre_application(current)
         while superstep < max_supersteps:
             t0 = time.time()
             if hooks is not None and hooks.pre_superstep is not None:

@@ -166,3 +166,26 @@ def test_striped_block_covers_all_vertices_once(spark):
     rows = run.vertices.collect()
     assert len(rows) == 32 and all(r.x == 1 for r in rows)
     assert run.supersteps == 5  # 4 stripe pieces + end-detection
+
+
+def test_engine_side_round_is_half_away_not_bankers(spark):
+    """Regression pin for the ADVICE rounding class (q_graph_summary /
+    q_lsh_eval): ratios reported by entry queries must round HALF_UP
+    (F.round, matching DuckDB's half-away-from-zero) — Python round()
+    is banker's and diverges exactly on .5e-6 boundaries. Pin one:
+    round(0.0000015, 6): HALF_UP -> 0.000002, banker's -> 0.000002;
+    round(0.0000025, 6): HALF_UP -> 0.000003, banker's -> 0.000002."""
+    import duckdb
+
+    # 0.0000025 is NOT exactly representable in binary; use a ratio that
+    # lands exactly on the boundary in decimal: 1/400000 = 0.0000025
+    row = (
+        spark.createDataFrame([(1, 400000)], "num long, den long")
+        .select(F.round(F.col("num") / F.col("den"), 6).alias("r"))
+        .collect()[0]
+    )
+    duck = duckdb.sql("SELECT round(1 / 400000.0, 6) AS r").fetchone()[0]
+    assert row.r == duck  # Spark HALF_UP == DuckDB half-away
+    assert row.r != round(1 / 400000, 6) or duck == round(1 / 400000, 6)
+    # the entry queries must agree with the oracle engine on the boundary
+    assert abs(row.r - 3e-6) < 1e-12
