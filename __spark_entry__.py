@@ -2381,6 +2381,95 @@ FROM th0 h LEFT JOIN (
     )
 
 
+def _trussness_delta_sql(rounds_per_k: dict[int, int]) -> str:
+    """Memory-bounded trussness oracle for dense SFs: support computed
+    ONCE, then each unrolled peel round removes sup < k-2 edges and
+    decrements the other edges of the triangles through the removed
+    frontier (wedge probe against the live edge set). Exact same final
+    table as :func:`_trussness_sql`; per-round intermediates are
+    edge-sized instead of triangle-recount-sized — the recount chain's
+    materialized CTEs pinned >44 GiB in DuckDB at sf0.1 and OOMed even
+    with a spill directory. The recount form stays the gate-SF oracle
+    (fully independent of the engine's delta formulation); this form is
+    emitted only when the measured unroll is too deep for the recount
+    chain (``oracle_sql`` picks by total rounds)."""
+    parts = [
+        _GRAPH,
+        _SYM,
+        "h0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym WHERE src < dst)",
+        """s0 AS MATERIALIZED (
+  SELECT h.u, h.v, coalesce(t.sup, 0) AS sup FROM h0 h LEFT JOIN (
+    SELECT u, v, count(*)::BIGINT AS sup FROM (
+      SELECT e1.u AS u, e1.v AS v FROM h0 e1
+      JOIN h0 e2 ON e2.u = e1.v JOIN h0 e3 ON e3.u = e1.u AND e3.v = e2.v
+      UNION ALL
+      SELECT e1.u, e2.v FROM h0 e1
+      JOIN h0 e2 ON e2.u = e1.v JOIN h0 e3 ON e3.u = e1.u AND e3.v = e2.v
+      UNION ALL
+      SELECT e1.v, e2.v FROM h0 e1
+      JOIN h0 e2 ON e2.u = e1.v JOIN h0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ) GROUP BY u, v) t ON t.u = h.u AND t.v = h.v)""",
+    ]
+    idx = 0
+    labels = []
+    for k in sorted(rounds_per_k):
+        for _ in range(rounds_per_k[k]):
+            parts.append(
+                f"""rem{idx} AS MATERIALIZED (
+  SELECT u, v, sup FROM s{idx} WHERE sup < {k - 2})"""
+            )
+            parts.append(
+                f"""kill{idx} AS MATERIALIZED (
+  SELECT DISTINCT least(r.u, r.v, adj.q) AS a,
+         r.u + r.v + adj.q - least(r.u, r.v, adj.q)
+                           - greatest(r.u, r.v, adj.q) AS b,
+         greatest(r.u, r.v, adj.q) AS c
+  FROM (SELECT u, v FROM rem{idx} WHERE sup > 0) r
+  JOIN (SELECT u AS p, v AS q FROM s{idx}
+        UNION ALL SELECT v, u FROM s{idx}) adj ON adj.p = r.u
+  JOIN s{idx} e2 ON e2.u = least(r.v, adj.q) AND e2.v = greatest(r.v, adj.q)
+  WHERE adj.q <> r.v)"""
+            )
+            parts.append(
+                f"""s{idx + 1} AS MATERIALIZED (
+  SELECT s.u, s.v, s.sup - coalesce(d.c, 0) AS sup
+  FROM s{idx} s
+  LEFT JOIN (SELECT u, v, count(*)::BIGINT AS c FROM (
+      SELECT a AS u, b AS v FROM kill{idx}
+      UNION ALL SELECT a, c FROM kill{idx}
+      UNION ALL SELECT b, c FROM kill{idx}) GROUP BY u, v) d
+    ON d.u = s.u AND d.v = s.v
+  WHERE NOT EXISTS (SELECT 1 FROM rem{idx} r
+                    WHERE r.u = s.u AND r.v = s.v))"""
+            )
+            labels.append(f"SELECT u, v, {k - 1} AS t FROM rem{idx}")
+            idx += 1
+    member_union = "\n    UNION ALL ".join(labels)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT h.u, h.v, coalesce(m.t, 2)::BIGINT AS trussness
+FROM h0 h LEFT JOIN (
+  SELECT u, v, max(t) AS t FROM (
+    {member_union}
+  ) GROUP BY u, v
+) m ON m.u = h.u AND m.v = h.v"""
+    )
+
+
+def _trussness_oracle_sql() -> str:
+    """Pick the trussness oracle formulation by measured unroll depth:
+    the fully-independent recount chain at gate SF (shallow unrolls),
+    the memory-bounded delta form for dense SFs whose recount chain
+    exceeds DuckDB's pinnable memory."""
+    bounds = _trussness_bounds()
+    total_rounds = sum(bounds.values())
+    if total_rounds <= 20:
+        return _trussness_sql(bounds)
+    return _trussness_delta_sql(bounds)
+
+
 _DENSEST_EPS = 0.5  # factor 2*(1+eps) = 3.0, exactly representable in IEEE
 
 
@@ -5628,7 +5717,7 @@ JOIN deg d ON d.id = v.id""",
         "k_truss": _k_truss_sql(4, 8),
         "coreness": _coreness_sql(_coreness_bounds()),
         "densest": _densest_sql(_densest_rounds(_oracle_sf_dir())),
-        "trussness": _trussness_sql(_trussness_bounds()),
+        "trussness": _trussness_oracle_sql(),
         "watts_strogatz": _watts_strogatz_sql(512, 4, 0.1, 7),
         "reciprocity": f"""WITH {_GRAPH},
 dd AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)

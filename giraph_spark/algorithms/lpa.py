@@ -150,7 +150,8 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("_changed"),
             )
-            .persist()
+            # lazy cut materialized by the aggregate below (step_precut)
+            .localCheckpoint(eager=False)
         )
         row = new_state.agg(
             F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("c"),
@@ -173,6 +174,7 @@ def label_propagation(
         checkpoint_interval=checkpoint_interval,
         resume=resume,
         verbose=verbose,
+        step_precut=True,
     )
     e.unpersist()
     if box["e_dst"] is not None:
@@ -219,7 +221,7 @@ def max_label_propagation(
                 F.greatest("label", F.coalesce("msg", "label")).alias("label"),
                 (F.coalesce("msg", "label") > F.col("label")).alias("changed"),
             )
-            .persist()
+            .localCheckpoint(eager=False)
         )
         return new_state, {"changed": materialize_count(new_state, "changed")}
 
@@ -230,6 +232,7 @@ def max_label_propagation(
         max_supersteps=max_supersteps,
         halt=lambda stats, i: stats["changed"] == 0,
         verbose=verbose,
+        step_precut=True,
     )
     e.unpersist()
     return PregelRun(

@@ -177,9 +177,12 @@ def pagerank(
                 ),
             )
         )
-        # persist BEFORE the action so the convergence aggregate also
-        # populates the cache the next superstep reads (single execution)
-        new_state = new_state.persist()
+        # LAZY lineage cut BEFORE the action: the convergence aggregate
+        # below materializes the checkpoint blocks in ITS job, so the
+        # superstep costs exactly one Spark job (the loop's step_precut
+        # mode skips the separate eager-cut job — measured ~120 ms of
+        # the sf0.1 superstep floor)
+        new_state = new_state.localCheckpoint(eager=False)
         # ONE action: next-iteration sums + all convergence reducers
         row = new_state.agg(
             F.sum("rank").alias("all_sum"),
@@ -216,6 +219,7 @@ def pagerank(
         resume=resume,
         lineage_cut_interval=lineage_cut_interval,
         verbose=verbose,
+        step_precut=True,
     )
     e.unpersist()
     return PregelRun(

@@ -117,7 +117,9 @@ def connected_components(
                 F.least("component", F.coalesce("msg", "component")).alias("component"),
                 (F.coalesce("msg", "component") < F.col("component")).alias("changed"),
             )
-            .persist()
+            # lazy cut: the materialize_count action below writes the
+            # checkpoint blocks in the same job (step_precut mode)
+            .localCheckpoint(eager=False)
         )
         return new_state, {"changed": materialize_count(new_state, "changed")}
 
@@ -131,6 +133,7 @@ def connected_components(
         checkpoint_interval=checkpoint_interval,
         resume=resume,
         verbose=verbose,
+        step_precut=True,
     )
     e.unpersist()
     return PregelRun(

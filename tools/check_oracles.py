@@ -51,6 +51,13 @@ def main() -> int:
     spark = get_spark(app_name="check-entry", cores=8, shuffle_partitions=8)
 
     con = duckdb.connect()
+    # in-memory DuckDB cannot spill unless a temp_directory is set; the
+    # sf0.1 trussness oracle's unrolled CTE chain pins >100 GiB of
+    # materialized intermediates without it (observed OOM at the block
+    # pin limit). A sub-RAM memory_limit makes it go out-of-core early
+    # instead of dying at the wall.
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
