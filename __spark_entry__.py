@@ -3255,6 +3255,64 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level FILE PRUNING on the snapshot table (the Iceberg
+    manifest-stats scan-planning path): four crawls committed as
+    appends, each covering a disjoint doc_id quartile, then a range scan
+    over quartiles 2-3 via snapshot_read_pruned — the planner must open
+    exactly 2 of the 4 data dirs (stats pinned as columns: the oracle
+    hardcodes dirs_scanned=2/dirs_total=4, so a pruning regression is a
+    gate failure, not a silent slowdown) and the residual row filter
+    must return exactly the oracle's rows."""
+    import shutil
+    import tempfile
+
+    from giraph_spark import storage
+
+    loc = tempfile.mkdtemp(prefix="gs_snapprune_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n = docs.count()
+        q = max(n // 4, 1)
+        for i in range(4):
+            lo, hi = i * q, (i + 1) * q - 1 if i < 3 else n - 1
+            storage.snapshot_write(
+                docs.where(F.col("doc_id").between(lo, hi)),
+                loc,
+                "docs",
+                mode="append",
+            )
+        lo, hi = q, 3 * q - 1  # spans crawls 2 and 3 exactly
+        df, stats = storage.snapshot_read_pruned(
+            spark, loc, "docs", "doc_id", lo, hi
+        )
+        out = df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        ).select(
+            "lang",
+            "n_docs",
+            "sum_chars",
+            F.lit(stats["dirs_scanned"]).cast("long").alias("dirs_scanned"),
+            F.lit(stats["dirs_total"]).cast("long").alias("dirs_total"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def _snapshot_pruned_read_sql() -> str:
+    return """
+WITH n AS (SELECT count(*) AS n FROM documents),
+q AS (SELECT greatest(n // 4, 1) AS q FROM n)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       2::BIGINT AS dirs_scanned, 4::BIGINT AS dirs_total
+FROM documents, q
+WHERE doc_id BETWEEN q AND 3 * q - 1
+GROUP BY lang, q
+""".strip()
+
+
 _SNAPSHOT_TIME_TRAVEL_SQL = """
 SELECT lang,
        coalesce(sum(CASE WHEN doc_id % 2 = 0 THEN 1 END), 0)::BIGINT AS n_snap1,
@@ -5558,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqfile_roundtrip": q_seqfile_roundtrip,
         "json_base64_roundtrip": q_json_base64_roundtrip,
         "snapshot_time_travel": q_snapshot_time_travel,
+        "snapshot_pruned_read": q_snapshot_pruned_read,
         "partition_mapping_quality": q_partition_mapping_quality,
         "in_degrees": q_in_degrees,
         "degree_stats": q_degree_stats,
@@ -5806,6 +5865,7 @@ SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "json_base64_roundtrip": f"""WITH {_GRAPH}
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "snapshot_time_travel": _SNAPSHOT_TIME_TRAVEL_SQL,
+        "snapshot_pruned_read": _snapshot_pruned_read_sql(),
         "partition_mapping_quality": _partition_mapping_quality_sql(
             _CORPUS_PATH, max(10, _CORPUS_N // 50)
         ),

@@ -31,6 +31,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 DEFAULT_LOCATION = "/tmp/giraph_spark_warehouse"
 
@@ -230,14 +231,40 @@ def snapshot_write(
     # only becomes visible when the manifest + hint commit below succeed
     data_rel = f"data/s{new_id:05d}"
     df.write.mode("errorifexists").parquet(os.path.join(location, table, data_rel))
+    # manifest-level column bounds for the NEW data dir (Iceberg manifest
+    # file stats, the metadata a planner prunes files with): min/max per
+    # numeric or string column, one small driver-side aggregate over the
+    # just-written files
+    written = df.sparkSession.read.parquet(os.path.join(location, table, data_rel))
+    stat_cols = [
+        f.name
+        for f in written.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "string", "date")
+    ]
+    bounds: dict[str, list] = {}
+    if stat_cols:
+        aggs = []
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"_lo_{c}"))
+            aggs.append(F.max(c).alias(f"_hi_{c}"))
+        row = written.agg(*aggs).collect()[0]
+        for c in stat_cols:
+            lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
+            if lo is not None:
+                bounds[c] = [lo, hi]
     dirs = [data_rel]
+    dir_bounds = {data_rel: bounds}
     if mode == "append" and parent is not None:
-        dirs = _read_manifest(location, table, parent)["data_dirs"] + dirs
+        pm = _read_manifest(location, table, parent)
+        dirs = pm["data_dirs"] + dirs
+        dir_bounds = {**pm.get("dir_bounds", {}), **dir_bounds}
     manifest = {
         "snapshot_id": new_id,
         "parent_id": parent,
         "operation": mode,
         "data_dirs": dirs,
+        "dir_bounds": dir_bounds,
         "committed_at": time.time(),
         "schema": df.schema.jsonValue(),
     }
@@ -266,6 +293,53 @@ def snapshot_read(
     m = _read_manifest(location, table, snapshot_id)
     paths = [os.path.join(location, table, d) for d in m["data_dirs"]]
     return spark.read.parquet(*paths)
+
+
+def snapshot_read_pruned(
+    spark: SparkSession,
+    location: str,
+    table: str,
+    column: str,
+    lo,
+    hi,
+    snapshot_id: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Manifest-level file pruning: read only the data dirs whose
+    recorded [min, max] bounds for ``column`` intersect [lo, hi] — the
+    Iceberg manifest-stats scan-planning path (a planner never opens
+    files whose stats exclude the predicate). Returns ``(df, stats)``
+    where the DataFrame ALSO applies the row-level filter (pruning is a
+    superset cut, exactly like Iceberg: file skip first, then residual
+    predicate), and stats = {"dirs_total", "dirs_scanned",
+    "dirs_skipped"} — the read-path evidence for crawl-over-crawl
+    incremental scans (each crawl's dir carries disjoint bounds, so a
+    time/host-range query touches one crawl's files).
+
+    A dir with NO recorded bounds for the column is conservatively
+    scanned (unknown stats never skip data).
+    """
+    if snapshot_id is None:
+        snapshot_id = current_snapshot_id(location, table)
+        if snapshot_id is None:
+            raise ValueError(f"table {table!r} has no committed snapshot at {location}")
+    m = _read_manifest(location, table, snapshot_id)
+    dir_bounds = m.get("dir_bounds", {})
+    keep = []
+    for d in m["data_dirs"]:
+        b = dir_bounds.get(d, {}).get(column)
+        if b is None or not (b[1] < lo or b[0] > hi):
+            keep.append(d)
+    stats = {
+        "dirs_total": len(m["data_dirs"]),
+        "dirs_scanned": len(keep),
+        "dirs_skipped": len(m["data_dirs"]) - len(keep),
+    }
+    if not keep:
+        schema = StructType.fromJson(m["schema"])
+        return spark.createDataFrame([], schema), stats
+    paths = [os.path.join(location, table, d) for d in keep]
+    df = spark.read.parquet(*paths).where(F.col(column).between(lo, hi))
+    return df, stats
 
 
 def snapshot_history(location: str, table: str) -> list[dict]:

@@ -208,3 +208,37 @@ def test_partition_quality_metrics(spark):
     )
     got2 = {r.partition: r.cut_edges for r in partition_quality(aligned, 4).collect()}
     assert got2 == {0: 0, 1: 0, 2: 0}
+
+
+def test_snapshot_read_pruned_manifest_stats(spark, tmp_path):
+    """Manifest column bounds skip non-intersecting data dirs; unknown
+    bounds are conservatively scanned; empty prune returns a typed empty
+    frame."""
+    from giraph_spark import storage
+
+    loc = str(tmp_path)
+    a = spark.createDataFrame([(i, f"d{i}") for i in range(0, 10)], "id long, s string")
+    b = spark.createDataFrame([(i, f"d{i}") for i in range(10, 20)], "id long, s string")
+    c = spark.createDataFrame([(i, f"d{i}") for i in range(20, 30)], "id long, s string")
+    for df in (a, b, c):
+        storage.snapshot_write(df, loc, "t", mode="append")
+    got, stats = storage.snapshot_read_pruned(spark, loc, "t", "id", 12, 18)
+    assert stats == {"dirs_total": 3, "dirs_scanned": 1, "dirs_skipped": 2}
+    assert sorted(r.id for r in got.collect()) == list(range(12, 19))
+    # straddling range scans both touched dirs only
+    got, stats = storage.snapshot_read_pruned(spark, loc, "t", "id", 5, 15)
+    assert stats["dirs_scanned"] == 2
+    assert got.count() == 11
+    # disjoint range: zero dirs, empty frame with the table schema
+    got, stats = storage.snapshot_read_pruned(spark, loc, "t", "id", 100, 200)
+    assert stats["dirs_scanned"] == 0 and got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "s"]
+    # a column with no recorded bounds (e.g. dropped stats) scans everything
+    import json, os
+    mpath = storage._manifest_path(loc, "t", 3)
+    m = json.load(open(mpath))
+    m["dir_bounds"] = {d: {} for d in m["data_dirs"]}
+    json.dump(m, open(mpath, "w"))
+    got, stats = storage.snapshot_read_pruned(spark, loc, "t", "id", 12, 18)
+    assert stats["dirs_scanned"] == 3
+    assert sorted(r.id for r in got.collect()) == list(range(12, 19))
