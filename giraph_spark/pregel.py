@@ -401,6 +401,16 @@ def run_supersteps(
             if ckpt is not None and ckpt.should_save(superstep):
                 reloaded = ckpt.save(current, superstep, stats)
                 last_saved = superstep
+                if step_precut:
+                    # the reliable snapshot replaces the precut state:
+                    # release this superstep's (and the pending previous)
+                    # checkpoint blocks now — nothing reads them again
+                    cur_jrdd = _checkpointed_jrdd(current)
+                    if cur_jrdd is not None:
+                        cur_jrdd.unpersist(False)
+                    if prev_cut_jrdd is not None:
+                        prev_cut_jrdd.unpersist(False)
+                    prev_cut_jrdd = None
                 current.unpersist()
                 current = reloaded.persist()
             elif step_precut:
