@@ -189,3 +189,28 @@ def test_engine_side_round_is_half_away_not_bankers(spark):
     assert row.r != round(1 / 400000, 6) or duck == round(1 / 400000, 6)
     # the entry queries must agree with the oracle engine on the boundary
     assert abs(row.r - 3e-6) < 1e-12
+
+
+def test_trussness_oracle_forms_agree():
+    """The memory-bounded delta-form trussness oracle must produce the
+    exact rows of the independent recount-form chain (same DuckDB
+    engine, same measured unroll bounds) — the guarantee that lets
+    oracle_sql() switch forms by unroll depth without weakening the
+    gate."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+    )
+    bounds = dict(E._truss_bounds("/root/testdata/sf0.001"))
+    a = con.execute(E._trussness_sql(bounds)).fetchdf()
+    d = con.execute(E._trussness_delta_sql(bounds)).fetchdf()
+    key = ["u", "v"]
+    a = a.sort_values(key).reset_index(drop=True)
+    d = d.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(d) > 0
+    assert a.equals(d)
