@@ -303,7 +303,7 @@ def trussness(
     symmetrize_input: bool = True,
     num_partitions: int | None = None,
     max_rounds: int = 4000,
-    deep_cut_interval: int = 5,
+    deep_cut_interval: int = 0,
     deep_cut_dir: str | None = None,
     broadcast_frontier_max: int = 1_000_000,
     verbose: bool = False,
@@ -341,19 +341,23 @@ def trussness(
     jumping to ``min(support) + 3`` after each completed cascade (no
     edge can be removed below that level).
 
-    ``deep_cut_interval``: every N peel rounds (checked INSIDE the
-    cascade loop, so one long k-level cannot dodge it) the support
-    table is round-tripped through parquet under ``deep_cut_dir`` and
-    re-read as a fresh file-backed leaf, resetting driver- and
-    executor-side per-plan state (Catalyst stats, codegen caches,
-    checkpoint/broadcast bookkeeping) that hundreds of plan-build
-    cycles accumulate. The default 5 is measured, not guessed: between
-    cuts the per-round update cost COMPOUNDS (~1.3-2x per round on the
-    sf0.1 demo graph — at interval 25 a cascade tail went 1.1s ->
-    100s/round before the next cut), while at interval 5 every round
-    stays proportional to its frontier and the full sf0.1
-    decomposition closes in ~146 s. The parquet write costs well under
-    a second per interval at that SF.
+    Per-round state carrier: :func:`giraph_spark.pregel.bare_checkpoint`
+    — an eager localCheckpoint whose leaf is re-wrapped WITHOUT the
+    origin-stats chain ``Dataset.checkpoint`` normally bakes in. With
+    plain chained checkpoints the per-round PLANNING time compounds
+    ~2x/round (the origin plan of each leaf references the previous
+    leaf ~4 times, and Catalyst's stats consumers — InjectRuntimeFilter
+    foremost — walk that tree: measured 1 s -> 100 s within 8 rounds at
+    identical plan text, and a round-3 run OOMed in
+    SizeInBytesOnlyStatsPlanVisitor from the same chain). The bare leaf
+    keeps planning flat (~70 ms) at any peel depth.
+
+    ``deep_cut_interval``: optional belt-and-braces — every N peel
+    rounds the support table is additionally round-tripped through
+    parquet under ``deep_cut_dir`` and re-read as a file-backed leaf.
+    With the bare-leaf carrier nothing measurable accumulates, so the
+    default is 0 (disabled); set it for multi-thousand-round
+    decompositions as insurance against driver-side cache growth.
     ``deep_cut_dir`` defaults to the SparkContext checkpoint dir when
     one is set (required on a multi-machine cluster — executors cannot
     read the driver's local disk) and otherwise to a driver-local temp
@@ -395,18 +399,16 @@ def trussness(
             tris.select(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v"))
         )
     )
-    from giraph_spark.pregel import _checkpointed_jrdd
+    from giraph_spark.pregel import _checkpointed_jrdd, bare_checkpoint
 
-    sup = (
+    sup, sup_release = bare_checkpoint(
         sym.where(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .join(tri_edges.groupBy("u", "v").agg(F.count(F.lit(1)).alias("support")),
               ["u", "v"], "left")
         .select("u", "v", F.coalesce("support", F.lit(0)).alias("support"))
         .repartition(num_partitions, "u", "v")
-        .localCheckpoint(eager=True)
     )
-    sup_handle = _checkpointed_jrdd(sup)
     n = sup.count()
     cuts.release("sym")  # only the initial orientation needed it
     parts: list[DataFrame] = []  # per-round removed frontiers, already cut
@@ -430,14 +432,15 @@ def trussness(
                 next_deep_cut += deep_cut_interval
                 p_sup = os.path.join(deep_dir, f"sup_{rounds}")
                 sup.write.mode("overwrite").parquet(p_sup)
-                if sup_handle is not None:
-                    sup_handle.unpersist(False)
+                if sup_release is not None:
+                    sup_release()
                 sup = spark.read.parquet(p_sup)
-                sup_handle = None  # file-backed; nothing to release
-                _hadoop_rm(
-                    spark,
-                    os.path.join(deep_dir, f"sup_{rounds - deep_cut_interval}"),
-                )
+                sup_release = None  # file-backed; nothing to release
+                # earlier intervals' dirs are NOT deleted mid-run: frames
+                # from a parquet-backed round may still lazily reference
+                # them (observed FAILED_READ_FILE under interval=1); the
+                # whole scratch dir is removed once the result is
+                # materialized below
             _t0 = time.time()
             removed = sup.where(F.col("support") < k - 2).select(
                 "u", "v", "support"
@@ -486,7 +489,7 @@ def trussness(
             )
             rm_pairs = removed.select("u", "v")
             rm_anti = F.broadcast(rm_pairs) if n_rm <= broadcast_frontier_max else rm_pairs
-            new_sup = (
+            new_sup, new_release = bare_checkpoint(
                 sup.join(rm_anti, ["u", "v"], "left_anti")
                 .join(dec, ["u", "v"], "left")
                 .select(
@@ -497,13 +500,11 @@ def trussness(
                     ),
                 )
                 .repartition(num_partitions, "u", "v")
-                .localCheckpoint(eager=True)
             )
             _t2 = time.time()
-            new_handle = _checkpointed_jrdd(new_sup)
-            if sup_handle is not None:
-                sup_handle.unpersist(False)
-            sup, sup_handle = new_sup, new_handle
+            if sup_release is not None:
+                sup_release()
+            sup, sup_release = new_sup, new_release
             n -= n_rm
             if verbose:
                 print(
@@ -524,7 +525,7 @@ def trussness(
         out = acc.coalesce(num_partitions).localCheckpoint(eager=True)
     for h in part_handles:
         h.unpersist(False)  # type: ignore[attr-defined]
-    if sup_handle is not None:
-        sup_handle.unpersist(False)
+    if sup_release is not None:
+        sup_release()
     _hadoop_rm(spark, deep_dir)
     return out

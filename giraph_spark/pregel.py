@@ -214,6 +214,50 @@ def _checkpointed_jrdd(df: DataFrame):
         return None
 
 
+def bare_checkpoint(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
+    """Eager localCheckpoint returning a BARE ``LogicalRDD`` wrap of the
+    checkpointed data — stripped of the origin-stats/constraints
+    references ``Dataset.checkpoint`` bakes into its leaf.
+
+    Why it exists (measured, round 4): a checkpoint leaf keeps lazy
+    references to its ORIGIN plan's statistics, and in an iterated loop
+    the origin plan references the previous round's leaf several times —
+    so Catalyst's stats consumers (InjectRuntimeFilter, join-strategy
+    selection, AQE) walk a tree that grows ~branching^depth. In the
+    trussness peel this doubled the per-round planning time every round
+    (1 s -> 100 s within 8 rounds, identical plan text) and is the same
+    accumulation that OOMed a round-3 run inside
+    SizeInBytesOnlyStatsPlanVisitor; reliable ``checkpoint()`` carries
+    the same chain, and a parquet round-trip breaks it only because a
+    file scan has no origin. Rebuilding the leaf with
+    ``internalCreateDataFrame`` over the already-checkpointed internal
+    RDD severs the chain with zero IO: planning measured flat (70 ms)
+    at every depth.
+
+    Trades: the bare leaf loses outputPartitioning/ordering metadata
+    (downstream joins may add an exchange the original leaf could have
+    elided) and reports default stats. Use it for loops whose state is
+    re-shuffled anyway; keep plain ``LineageCuts`` where cut-to-cut
+    co-partitioning matters (the pregel superstep state).
+
+    Returns ``(bare_df, release)``; ``release()`` frees the checkpoint
+    blocks once nothing downstream reads them.
+    """
+    spark = df.sparkSession
+    c = df.localCheckpoint(eager=True)
+    handle = _checkpointed_jrdd(c)
+    jdf = spark._jsparkSession.internalCreateDataFrame(  # noqa: SLF001
+        c._jdf.queryExecution().toRdd(), c._jdf.schema(), False  # noqa: SLF001
+    )
+    bare = DataFrame(jdf, spark)
+
+    def release() -> None:
+        if handle is not None:
+            handle.unpersist(False)  # type: ignore[attr-defined]
+
+    return bare, release
+
+
 class LineageCuts:
     """Per-slot localCheckpoint bookkeeping with explicit block release.
 
