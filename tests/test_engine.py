@@ -179,3 +179,37 @@ def test_lineage_cut_bounds_partition_width(spark):
     run = run_supersteps(spark, v0, widening_step, max_supersteps=10)
     assert run.vertices.count() == 8
     assert run.vertices.rdd.getNumPartitions() <= 8 * 4
+
+
+def test_bare_checkpoint_values_schema_release(spark):
+    """bare_checkpoint: same rows/schema as the input, a true leaf plan
+    (no origin references — the iterated-planning fix), and release()
+    frees the checkpoint blocks."""
+    from pyspark.sql import functions as F
+
+    from giraph_spark.pregel import bare_checkpoint
+
+    df = spark.createDataFrame(
+        [(i, float(i) / 3, f"s{i}") for i in range(100)],
+        "id long, x double, s string",
+    )
+    bare, release = bare_checkpoint(df.repartition(4, "id"))
+    assert bare.schema == df.schema
+    assert sorted(map(tuple, bare.collect())) == sorted(map(tuple, df.collect()))
+    # leaf plan: analyzed tree is a single LogicalRDD node
+    analyzed = bare._jdf.queryExecution().analyzed().toString()
+    assert analyzed.strip().startswith("LogicalRDD")
+    assert "\n " not in analyzed.strip()  # no children
+    # chaining through joins keeps the next leaf constant-size too
+    nxt, release2 = bare_checkpoint(
+        bare.join(F.broadcast(bare.limit(3).select("id")), "id", "left_anti")
+    )
+    assert nxt._jdf.queryExecution().analyzed().toString().strip().startswith(
+        "LogicalRDD"
+    )
+    assert nxt.count() == 97
+    sc = spark.sparkContext
+    assert len(sc._jsc.sc().getRDDStorageInfo()) >= 2
+    release()
+    release2()
+    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
