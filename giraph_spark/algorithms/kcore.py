@@ -218,23 +218,23 @@ def coreness(
     prev_verts = cuts.cut(vertices_from_edges(e), "prev_verts")
     n_edges = e.count()
     result: DataFrame | None = None
-    # the whole graph IS the k-core for every k up to its minimum
-    # symmetric degree (coreness >= d_min for all vertices), so those
-    # peels are verified no-ops — start above them
-    if n_edges > 0:
-        d_min = int(
+    k = 0
+    rounds_left = max_rounds
+
+    while n_edges > 0:
+        # after a completed fixpoint every surviving vertex has degree
+        # >= the current core's minimum degree, so all levels up to that
+        # minimum are verified no-ops — jump straight past them (also
+        # subsumes the old d_min fast-start on the first iteration); one
+        # tiny min-degree aggregate replaces one no-op cascade per
+        # skipped level
+        d_cur = int(
             e.groupBy("src")
             .agg(F.count(F.lit(1)).alias("d"))
             .agg(F.min("d"))
             .collect()[0][0]
         )
-        k = max(d_min - 1, 0)
-    else:
-        k = 0
-    rounds_left = max_rounds
-
-    while n_edges > 0:
-        k += 1
+        k = max(k + 1, d_cur + 1)
         # peel e down to its k-core fixpoint
         while True:
             rounds_left -= 1
