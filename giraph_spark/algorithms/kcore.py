@@ -365,20 +365,67 @@ def trussness(
     """
     import os
     import tempfile
-    import time
     import uuid
-
-    from giraph_spark.algorithms.triangles import _oriented, _triangle_list_from
 
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    cuts = LineageCuts()
+    scratch_parent: str | None = None
     if deep_cut_dir is None:
         deep_cut_dir = spark.sparkContext.getCheckpointDir()
     if deep_cut_dir is None:
         deep_cut_dir = tempfile.mkdtemp(prefix="giraph_truss_deepcut_")
+        scratch_parent = deep_cut_dir  # we created it — we remove it
     deep_dir = os.path.join(deep_cut_dir, f"truss_{uuid.uuid4().hex[:12]}")
 
+    # AQE off for the peel (restored below), same discipline as
+    # run_supersteps: the round plans are fixed-shape, and AQE is the
+    # root cause of the release-vs-read race observed in the r4 sf0.1
+    # sweep (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND): when a round's frontier
+    # materializes EMPTY, AQE's empty-relation propagation replans the
+    # decrement join away, the awaited action returns without ever
+    # needing the already-submitted support-scan shuffle stage, and that
+    # orphaned stage — whose tasks are not interrupted by default — then
+    # reads the support blocks the loop has already released. With AQE
+    # off every submitted stage belongs to the awaited job, so
+    # program-order release is sound; the empty-frontier probe skip and
+    # the one-round release deferral below are additional layers.
+    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _trussness_peel(
+            spark,
+            edges,
+            symmetrize_input=symmetrize_input,
+            num_partitions=num_partitions,
+            max_rounds=max_rounds,
+            deep_cut_interval=deep_cut_interval,
+            deep_dir=deep_dir,
+            broadcast_frontier_max=broadcast_frontier_max,
+            verbose=verbose,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+        _hadoop_rm(spark, scratch_parent if scratch_parent is not None else deep_dir)
+
+
+def _trussness_peel(
+    spark: SparkSession,
+    edges: DataFrame,
+    *,
+    symmetrize_input: bool,
+    num_partitions: int,
+    max_rounds: int,
+    deep_cut_interval: int,
+    deep_dir: str,
+    broadcast_frontier_max: int,
+    verbose: bool,
+) -> DataFrame:
+    import os
+    import time
+
+    from giraph_spark.algorithms.triangles import _oriented, _triangle_list_from
+
+    cuts = LineageCuts()
     if symmetrize_input:
         from giraph_spark.graph import clean_symmetric
 
@@ -413,6 +460,11 @@ def trussness(
     cuts.release("sym")  # only the initial orientation needed it
     parts: list[DataFrame] = []  # per-round removed frontiers, already cut
     part_handles: list[object] = []
+    # one-round release deferral: sup_{r-1}'s blocks are freed only after
+    # round r's state is materialized, so even a straggling task attempt
+    # from round r-1 (task kill is cooperative — a cancelled attempt can
+    # outlive its job) finds its input intact for a full round
+    deferred_release = None
     k = 2
     rounds = 0
     next_deep_cut = deep_cut_interval if deep_cut_interval else None
@@ -432,8 +484,9 @@ def trussness(
                 next_deep_cut += deep_cut_interval
                 p_sup = os.path.join(deep_dir, f"sup_{rounds}")
                 sup.write.mode("overwrite").parquet(p_sup)
-                if sup_release is not None:
-                    sup_release()
+                if deferred_release is not None:
+                    deferred_release()
+                deferred_release = sup_release
                 sup = spark.read.parquet(p_sup)
                 sup_release = None  # file-backed; nothing to release
                 # earlier intervals' dirs are NOT deleted mid-run: frames
@@ -442,11 +495,21 @@ def trussness(
                 # whole scratch dir is removed once the result is
                 # materialized below
             _t0 = time.time()
+            # lazy cut + ONE agg that both materializes the frontier's
+            # checkpoint blocks and counts total + support>0 rows (the
+            # step_precut idiom — saves the separate eager-cut job)
             removed = sup.where(F.col("support") < k - 2).select(
                 "u", "v", "support"
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
+            row = removed.agg(
+                F.count(F.lit(1)).alias("n_rm"),
+                F.sum(
+                    F.when(F.col("support") > 0, 1).otherwise(0)
+                ).alias("n_fr"),
+            ).collect()[0]
+            n_rm = int(row["n_rm"])
+            n_fr = int(row["n_fr"] or 0)
             rm_handle = _checkpointed_jrdd(removed)
-            n_rm = removed.count()
             _t1 = time.time()
             if n_rm == 0:
                 if rm_handle is not None:
@@ -458,52 +521,67 @@ def trussness(
                 )
             )
             part_handles.append(rm_handle)
-            # triangles through removed edges in the CURRENT graph:
-            # support-0 edges close nothing — skip them in the probe;
-            # adjacency is the live support table scanned both ways
-            frontier = removed.where(F.col("support") > 0).select("u", "v")
-            fr = F.broadcast(frontier) if n_rm <= broadcast_frontier_max else frontier
-            adj = sup.select(F.col("u"), F.col("v").alias("w")).union(
-                sup.select(F.col("v").alias("u"), F.col("u").alias("w"))
-            )
-            cand = (
-                fr.join(adj, "u")
-                .where(F.col("w") != F.col("v"))
-                .join(
-                    sup.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
-                    (F.least("v", "w") == F.col("_cu"))
-                    & (F.greatest("v", "w") == F.col("_cv")),
-                    "left_semi",
-                )
-            )
-            arr = F.array_sort(F.array("u", "v", "w"))
-            tri = cand.select(
-                arr[0].alias("x"), arr[1].alias("y"), arr[2].alias("z")
-            ).distinct()
-            dec = (
-                tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
-                .union(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
-                .union(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
-                .groupBy("u", "v")
-                .agg(F.count(F.lit(1)).alias("dcnt"))
-            )
             rm_pairs = removed.select("u", "v")
             rm_anti = F.broadcast(rm_pairs) if n_rm <= broadcast_frontier_max else rm_pairs
-            new_sup, new_release = bare_checkpoint(
-                sup.join(rm_anti, ["u", "v"], "left_anti")
-                .join(dec, ["u", "v"], "left")
-                .select(
-                    "u",
-                    "v",
-                    (F.col("support") - F.coalesce("dcnt", F.lit(0))).alias(
-                        "support"
-                    ),
+            if n_fr == 0:
+                # every removed edge has support 0 — no triangle passes
+                # through the frontier, so no decrements: the update is a
+                # bare anti-join. Skipping the probe here (rather than
+                # letting the optimizer discover the emptiness at runtime)
+                # is also what removes the trigger for the r4 release race
+                # (see the AQE rationale in trussness): no probe stages
+                # are ever submitted, so none can be orphaned.
+                update = sup.join(rm_anti, ["u", "v"], "left_anti").select(
+                    "u", "v", "support"
                 )
-                .repartition(num_partitions, "u", "v")
+            else:
+                # triangles through removed edges in the CURRENT graph:
+                # support-0 edges close nothing — skip them in the probe;
+                # adjacency is the live support table scanned both ways
+                frontier = removed.where(F.col("support") > 0).select("u", "v")
+                fr = F.broadcast(frontier) if n_fr <= broadcast_frontier_max else frontier
+                adj = sup.select(F.col("u"), F.col("v").alias("w")).union(
+                    sup.select(F.col("v").alias("u"), F.col("u").alias("w"))
+                )
+                cand = (
+                    fr.join(adj, "u")
+                    .where(F.col("w") != F.col("v"))
+                    .join(
+                        sup.select(F.col("u").alias("_cu"), F.col("v").alias("_cv")),
+                        (F.least("v", "w") == F.col("_cu"))
+                        & (F.greatest("v", "w") == F.col("_cv")),
+                        "left_semi",
+                    )
+                )
+                arr = F.array_sort(F.array("u", "v", "w"))
+                tri = cand.select(
+                    arr[0].alias("x"), arr[1].alias("y"), arr[2].alias("z")
+                ).distinct()
+                dec = (
+                    tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+                    .union(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+                    .union(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+                    .groupBy("u", "v")
+                    .agg(F.count(F.lit(1)).alias("dcnt"))
+                )
+                update = (
+                    sup.join(rm_anti, ["u", "v"], "left_anti")
+                    .join(dec, ["u", "v"], "left")
+                    .select(
+                        "u",
+                        "v",
+                        (F.col("support") - F.coalesce("dcnt", F.lit(0))).alias(
+                            "support"
+                        ),
+                    )
+                )
+            new_sup, new_release = bare_checkpoint(
+                update.repartition(num_partitions, "u", "v")
             )
             _t2 = time.time()
-            if sup_release is not None:
-                sup_release()
+            if deferred_release is not None:
+                deferred_release()
+            deferred_release = sup_release
             sup, sup_release = new_sup, new_release
             n -= n_rm
             if verbose:
@@ -525,7 +603,8 @@ def trussness(
         out = acc.coalesce(num_partitions).localCheckpoint(eager=True)
     for h in part_handles:
         h.unpersist(False)  # type: ignore[attr-defined]
+    if deferred_release is not None:
+        deferred_release()
     if sup_release is not None:
         sup_release()
-    _hadoop_rm(spark, deep_dir)
     return out

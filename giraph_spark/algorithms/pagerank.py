@@ -50,7 +50,6 @@ def pagerank(
     checkpoint_interval: int = 5,
     resume: bool = False,
     num_partitions: int | None = None,
-    lineage_cut_interval: int = 1,
     pre_partitioned: bool = False,
     init_ranks: DataFrame | None = None,
     verbose: bool = False,
@@ -217,8 +216,10 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
         resume=resume,
-        lineage_cut_interval=lineage_cut_interval,
         verbose=verbose,
+        # precut mode cuts lineage every superstep by construction (the
+        # step pre-issues a lazy localCheckpoint its own convergence
+        # aggregate materializes), so there is no cut-interval knob here
         step_precut=True,
     )
     e.unpersist()

@@ -107,6 +107,17 @@ def write_adjacency(
     bounded per-vertex arrays), one left join back to the vertex table —
     no driver materialization; each task writes its own part file.
     """
+    def _tok(c, what):
+        # a null token would be silently dropped by array_join below,
+        # shifting every later token one slot left and corrupting the
+        # round-trip; text adjacency has no null syntax, so fail the
+        # write loudly instead (coalesce short-circuits: raise_error
+        # only fires on an actual null)
+        return F.coalesce(
+            c.cast("string"),
+            F.raise_error(F.lit(f"write_adjacency: null {what} cannot be encoded")),
+        )
+
     ecols = [F.struct(F.col("dst"), F.col(weight_col).alias("w"))] if weight_col else [
         F.struct(F.col("dst"))
     ]
@@ -114,20 +125,20 @@ def write_adjacency(
         F.array_sort(F.collect_list(*ecols)).alias("ns")
     )
     joined = vertices.join(nbrs, vertices["id"] == nbrs["src"], "left")
-    head = [F.col("id").cast("string")]
+    head = [_tok(F.col("id"), "vertex id")]
     if value_col is not None:
-        head.append(F.col(value_col).cast("string"))
+        head.append(_tok(F.col(value_col), f"vertex value ({value_col})"))
     if weight_col:
         flat = F.flatten(
             F.transform(
                 "ns",
                 lambda s: F.array(
-                    s["dst"].cast("string"), s["w"].cast("string")
+                    _tok(s["dst"], "edge dst"), _tok(s["w"], f"edge weight ({weight_col})")
                 ),
             )
         )
     else:
-        flat = F.transform("ns", lambda s: s["dst"].cast("string"))
+        flat = F.transform("ns", lambda s: _tok(s["dst"], "edge dst"))
     toks = F.concat(F.array(*head), F.coalesce(flat, F.array().cast("array<string>")))
     joined.select(F.array_join(toks, delimiter).alias("value")).write.mode(
         mode

@@ -255,6 +255,10 @@ def bare_checkpoint(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
         if handle is not None:
             handle.unpersist(False)  # type: ignore[attr-defined]
 
+    # expose the checkpointed java-RDD handle for tests/diagnostics that
+    # need the concrete rdd id (e.g. asserting release() freed exactly
+    # these blocks without assuming the session-wide store is empty)
+    bare._bare_checkpoint_handle = handle  # type: ignore[attr-defined]
     return bare, release
 
 
@@ -468,6 +472,16 @@ def run_supersteps(
                         est_partitions = int(prev_cut_jrdd.getNumPartitions())
                     except Exception:  # noqa: BLE001
                         est_partitions = start_partitions
+                # same defensive width bound as the eager-cut branch below:
+                # a step that unions frames compounds partition width every
+                # superstep until the cut materializes tens of thousands of
+                # tiny blocks. The coalesce is narrow and lands on the INPUT
+                # of the next step, so its cut materializes at the bounded
+                # width (one superstep of lag, 8x headroom — same contract
+                # as the est_partitions probe documented below)
+                if est_partitions > 8 * max(start_partitions, 1):
+                    current = current.coalesce(start_partitions)
+                    est_partitions = start_partitions
             elif lineage_cut_interval and superstep % lineage_cut_interval == 0:
                 # bound Catalyst analysis time across iterations (risk register:
                 # iterative-plan blowup; Giraph analog: checkpoint frequency).

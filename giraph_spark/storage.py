@@ -24,6 +24,7 @@ cluster with an Iceberg catalog, ``write_bucketed_edges`` maps 1:1 onto
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -197,6 +198,16 @@ def current_snapshot_id(location: str, table: str) -> int | None:
         return None
 
 
+def _json_bound(v):
+    """JSON-safe manifest bound: date/datetime min/max collect as Python
+    temporal objects, which json.dump rejects; store their ISO-8601 form
+    instead. ISO strings order lexicographically exactly like the values
+    they encode, so the prune comparison stays correct without a parse."""
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v.isoformat()
+    return v
+
+
 def _read_manifest(location: str, table: str, snapshot_id: int) -> dict:
     try:
         with open(_manifest_path(location, table, snapshot_id), encoding="utf-8") as f:
@@ -240,7 +251,18 @@ def snapshot_write(
         f.name
         for f in written.schema.fields
         if f.dataType.typeName()
-        in ("byte", "short", "integer", "long", "float", "double", "string", "date")
+        in (
+            "byte",
+            "short",
+            "integer",
+            "long",
+            "float",
+            "double",
+            "string",
+            "date",
+            "timestamp",
+            "timestamp_ntz",
+        )
     ]
     bounds: dict[str, list] = {}
     if stat_cols:
@@ -252,7 +274,7 @@ def snapshot_write(
         for c in stat_cols:
             lo, hi = row[f"_lo_{c}"], row[f"_hi_{c}"]
             if lo is not None:
-                bounds[c] = [lo, hi]
+                bounds[c] = [_json_bound(lo), _json_bound(hi)]
     dirs = [data_rel]
     dir_bounds = {data_rel: bounds}
     if mode == "append" and parent is not None:
@@ -324,10 +346,13 @@ def snapshot_read_pruned(
             raise ValueError(f"table {table!r} has no committed snapshot at {location}")
     m = _read_manifest(location, table, snapshot_id)
     dir_bounds = m.get("dir_bounds", {})
+    # normalize temporal probes the same way snapshot_write serialized the
+    # stored bounds (ISO strings), so the comparison is like-for-like
+    plo, phi = _json_bound(lo), _json_bound(hi)
     keep = []
     for d in m["data_dirs"]:
         b = dir_bounds.get(d, {}).get(column)
-        if b is None or not (b[1] < lo or b[0] > hi):
+        if b is None or not (b[1] < plo or b[0] > phi):
             keep.append(d)
     stats = {
         "dirs_total": len(m["data_dirs"]),

@@ -209,7 +209,102 @@ def test_bare_checkpoint_values_schema_release(spark):
     )
     assert nxt.count() == 97
     sc = spark.sparkContext
-    assert len(sc._jsc.sc().getRDDStorageInfo()) >= 2
+
+    def stored_ids():
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = stored_ids()
+    # scope the release assertion to the ids THIS test checkpointed —
+    # the suite-shared session may hold other tests' persisted RDDs
+    released_ids = {
+        h.id()
+        for h in (bare._bare_checkpoint_handle, nxt._bare_checkpoint_handle)
+        if h is not None
+    }
+    assert released_ids, "expected at least one tracked checkpoint handle"
+    assert released_ids <= before
     release()
     release2()
-    assert len(sc._jsc.sc().getRDDStorageInfo()) == 0
+    assert stored_ids() & released_ids == set()
+
+
+def test_bare_checkpoint_release_under_concurrent_actions(spark):
+    """Stress the cut/release discipline the iterative loops rely on
+    (trussness peel, r4 race): a background thread hammers actions on the
+    CURRENT state frame while the main thread keeps cutting new states and
+    releasing old ones with a ONE-STEP deferral — the lag that keeps a
+    straggling reader's input alive for a full round. Must produce no
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (surfaces as a raised SparkException
+    in either thread) and leave no leaked blocks."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from giraph_spark.pregel import bare_checkpoint
+
+    sc = spark.sparkContext
+    base_ids = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    state, release = bare_checkpoint(
+        spark.range(0, 2000).select(F.col("id"), F.lit(0).alias("x"))
+    )
+    holder = {"df": state, "stop": False, "errors": []}
+
+    def reader():
+        while not holder["stop"]:
+            try:
+                holder["df"].agg(F.sum("x")).collect()
+            except Exception as exc:  # noqa: BLE001
+                holder["errors"].append(repr(exc))
+                return
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    deferred = None
+    for step in range(12):
+        new_state, new_release = bare_checkpoint(
+            holder["df"].select("id", (F.col("x") + 1).alias("x"))
+        )
+        holder["df"] = state = new_state
+        if deferred is not None:
+            deferred()
+        deferred = release
+        release = new_release
+    holder["stop"] = True
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert holder["errors"] == [], holder["errors"]
+    assert int(state.agg(F.sum("x")).collect()[0][0]) == 2000 * 12
+    if deferred is not None:
+        deferred()
+    release()
+    after_ids = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    assert after_ids - base_ids == set()
+
+
+def test_trussness_empty_frontier_rounds_and_no_leaks(spark):
+    """Trussness on a graph engineered so whole peel rounds remove ONLY
+    support-0 edges (the empty-frontier case whose AQE replan orphaned a
+    stage in the r4 sweep): a triangle pair sharing an edge plus a long
+    chain of triangle-free edges. Checks exact trussness values, that
+    repeated runs are stable, and that the decomposition releases every
+    checkpoint block it created."""
+    from giraph_spark.algorithms.kcore import trussness
+
+    sc = spark.sparkContext
+    base_ids = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    tri = [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]  # two triangles on edge (1,2)
+    chain = [(10 + i, 11 + i) for i in range(30)]  # support-0 edges
+    edges = spark.createDataFrame(tri + chain, "src long, dst long")
+    expect = {(u, v): 3 for (u, v) in tri}
+    expect[(1, 2)] = 3  # shared edge: still only one triangle survives each k
+    expect.update({(u, v): 2 for (u, v) in chain})
+    for _ in range(2):  # stability under rerun (fresh cut/release cycle)
+        got = {
+            (r["u"], r["v"]): r["trussness"]
+            for r in trussness(spark, edges, num_partitions=4).collect()
+        }
+        assert got == expect
+    after_ids = {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
+    # the result frame itself is checkpointed and returned (its blocks are
+    # the caller's to free); everything else must be released
+    assert len(after_ids - base_ids) <= 2

@@ -2,10 +2,11 @@
 
 Replicates bench.py's exact session + data (synth sf0.1 corpus, 32
 cores, suggest_num_partitions), then times pagerank-to-1e-6 repeatedly
-under different knobs (lineage_cut_interval, fused update). Prints one
-JSON line per run.
+repeatedly. The lineage-cut-interval knob A/B is retired: pagerank runs
+step_precut (one cut per superstep by construction), so the only axis
+left here is repetition count. Prints one JSON line per run.
 
-Usage: python tools/diag_pr_floor.py [reps] [cut_intervals...]
+Usage: python tools/diag_pr_floor.py [reps]
 """
 
 from __future__ import annotations
@@ -24,7 +25,6 @@ from giraph_spark.session import get_spark, suggest_num_partitions  # noqa: E402
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    cuts = [int(c) for c in sys.argv[2:]] or [1, 2, 3]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(app_name="diag-pr-floor", cores=cpus,
                       shuffle_partitions=max(cpus, 16))
@@ -38,23 +38,20 @@ def main() -> None:
     pagerank(spark, edges.limit(20_000), max_supersteps=6, tolerance=None,
              num_partitions=nparts)
     results = []
-    for cut in cuts:
-        for rep in range(reps):
-            t0 = time.time()
-            pr = pagerank(spark, edges, damping=0.85, max_supersteps=120,
-                          tolerance=1e-6, convergence="l1_mean",
-                          num_partitions=nparts, lineage_cut_interval=cut)
-            secs = time.time() - t0
-            row = {"cut": cut, "rep": rep, "secs": round(secs, 2),
-                   "supersteps": pr.supersteps,
-                   "ms_per_superstep": round(secs / pr.supersteps * 1000, 1)}
-            results.append(row)
-            print(json.dumps(row), flush=True)
-    by_cut = {}
-    for r in results:
-        by_cut.setdefault(r["cut"], []).append(r["ms_per_superstep"])
-    print(json.dumps({"medians": {
-        k: sorted(v)[len(v) // 2] for k, v in by_cut.items()}}), flush=True)
+    for rep in range(reps):
+        t0 = time.time()
+        pr = pagerank(spark, edges, damping=0.85, max_supersteps=120,
+                      tolerance=1e-6, convergence="l1_mean",
+                      num_partitions=nparts)
+        secs = time.time() - t0
+        row = {"rep": rep, "secs": round(secs, 2),
+               "supersteps": pr.supersteps,
+               "ms_per_superstep": round(secs / pr.supersteps * 1000, 1)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    vals = sorted(r["ms_per_superstep"] for r in results)
+    print(json.dumps({"median_ms_per_superstep": vals[len(vals) // 2]}),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -25,7 +25,6 @@ def _rest(url):
 
 
 def main() -> None:
-    cut = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     spark = get_spark(app_name="diag-pr-jobs", cores=32, shuffle_partitions=32,
                       extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,7 +41,7 @@ def main() -> None:
     t0 = time.time()
     pr = pagerank(spark, edges, damping=0.85, max_supersteps=120,
                   tolerance=1e-6, convergence="l1_mean",
-                  num_partitions=nparts, lineage_cut_interval=cut)
+                  num_partitions=nparts)
     wall = time.time() - t0
     jobs = [j for j in _rest(f"{ui}/api/v1/applications/{app}/jobs")
             if j["jobId"] not in jobs_before]

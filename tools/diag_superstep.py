@@ -6,7 +6,7 @@ vs the superstep wall — the difference is serial driver work (Catalyst
 analysis, codegen, py4j, job scheduling), the constant that caps scaling
 efficiency at small per-core workloads.
 
-Usage: python tools/diag_superstep.py [cores] [measured] [cut_interval]
+Usage: python tools/diag_superstep.py [cores] [measured]
 """
 
 from __future__ import annotations
@@ -35,7 +35,6 @@ def _rest(url: str):
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     measured = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    cut = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     spark = get_spark(
         app_name=f"diag-superstep-{cores}",
         cores=cores,
@@ -56,7 +55,7 @@ def main() -> None:
     run = pagerank(
         spark, edges, damping=0.85, max_supersteps=WARMUP + measured,
         tolerance=None, num_partitions=SHUFFLE_PARTITIONS,
-        lineage_cut_interval=cut, verbose=False,
+        verbose=False,
     )
     wall = real_time() - t0
 
@@ -126,7 +125,7 @@ def main() -> None:
             "stages": in_step,
         })
     print(json.dumps({
-        "cores": cores, "cut_interval": cut, "total_wall_s": round(wall, 1),
+        "cores": cores, "total_wall_s": round(wall, 1),
         "sum_superstep_s": round(sum(h["seconds"] for h in hist), 1),
         "unaccounted_s": round(wall - sum(h["seconds"] for h in hist), 1),
         "supersteps": out_rows,
