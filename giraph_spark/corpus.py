@@ -129,8 +129,15 @@ def synth_corpus(
             text = para1 + "\n" + para2
             deg = _out_degree(seed, i)
             # ragged link targets, vectorized via repeat + per-link offsets
+            # (k = global position minus the page's start offset — no
+            # per-page arange materialization)
             src_rep = np.repeat(i, deg)
-            k = np.concatenate([np.arange(d, dtype=np.uint64) for d in deg]) if n else np.array([], dtype=np.uint64)
+            starts = np.concatenate(([0], np.cumsum(deg)[:-1])) if n else np.array([], dtype=np.int64)
+            k = (
+                (np.arange(int(deg.sum()), dtype=np.int64) - np.repeat(starts, deg)).astype(np.uint64)
+                if n
+                else np.array([], dtype=np.uint64)
+            )
             tgt = _link_targets(seed, src_rep, k, n_pages)
             tgt_site = tgt % n_sites
             src_site = src_rep % n_sites
@@ -147,8 +154,17 @@ def synth_corpus(
             a2 = ((src_rep.astype(np.uint64) * np.uint64(3) + tgt * np.uint64(7)) % np.uint64(17)).astype(str)
             anchor_txt = "t" + pd.Series(a1) + " a" + pd.Series(a2)
             anchors = '<a href="' + href + '">' + anchor_txt + "</a>"
-            anchors_per_page = anchors.groupby(src_rep).agg("".join)
-            anchor_col = pd.Series(i).map(anchors_per_page).fillna("").to_numpy(dtype=object)
+            # per-page concat WITHOUT pandas groupby.agg (pure-Python
+            # group iteration measured 0.64 s of a 0.68 s batch): src_rep
+            # is contiguous-sorted by construction, so each page's anchors
+            # are the slice [starts[j], starts[j] + deg[j])
+            a_arr = anchors.to_numpy(dtype=object)
+            ends = starts + deg
+            anchor_col = np.fromiter(
+                ("".join(a_arr[s:e]) for s, e in zip(starts, ends)),
+                dtype=object,
+                count=n,
+            )
             esc1 = para1.str.replace("&", "&amp;", regex=False)
             esc2 = para2.str.replace("&", "&amp;", regex=False)
             html = (
