@@ -3301,6 +3301,75 @@ def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def q_snapshot_pruned_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest pruning on a DATE column (the crawl-over-crawl cut a web
+    corpus actually makes: each crawl's data dir carries a disjoint
+    crawl_date, a time-range query opens only the matching crawls).
+    Four weekly crawls committed as appends with crawl_date derived
+    deterministically from doc_id; the range scan spans crawls 2-3, so
+    the planner must open exactly 2 of 4 dirs — the manifest stores
+    date bounds as ISO strings (storage._json_bound; a regression here
+    previously raised TypeError mid-commit, orphaning the data dir).
+    Reference analog: time-travel/incremental scan planning over
+    HCatalog-style partitions (giraph-hcatalog/.../HCatalogVertexInputFormat.java)."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from giraph_spark import storage
+
+    loc = tempfile.mkdtemp(prefix="gs_snapdates_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+            "crawl_date",
+            F.date_add(
+                F.lit("2026-01-01").cast("date"),
+                (F.col("doc_id") % 4).cast("int") * 7,
+            ),
+        )
+        for i in range(4):
+            storage.snapshot_write(
+                docs.where(F.col("doc_id") % 4 == i), loc, "docs", mode="append"
+            )
+        df, stats = storage.snapshot_read_pruned(
+            spark,
+            loc,
+            "docs",
+            "crawl_date",
+            datetime.date(2026, 1, 8),
+            datetime.date(2026, 1, 15),
+        )
+        out = df.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.date_format(F.min("crawl_date"), "yyyy-MM-dd").alias("min_date"),
+            F.date_format(F.max("crawl_date"), "yyyy-MM-dd").alias("max_date"),
+        ).select(
+            "lang",
+            "n_docs",
+            "sum_chars",
+            "min_date",
+            "max_date",
+            F.lit(stats["dirs_scanned"]).cast("long").alias("dirs_scanned"),
+            F.lit(stats["dirs_total"]).cast("long").alias("dirs_total"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+_SNAPSHOT_PRUNED_DATES_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       min(DATE '2026-01-01' + ((doc_id % 4) * 7)::INT)::VARCHAR AS min_date,
+       max(DATE '2026-01-01' + ((doc_id % 4) * 7)::INT)::VARCHAR AS max_date,
+       2::BIGINT AS dirs_scanned, 4::BIGINT AS dirs_total
+FROM documents
+WHERE DATE '2026-01-01' + ((doc_id % 4) * 7)::INT
+      BETWEEN DATE '2026-01-08' AND DATE '2026-01-15'
+GROUP BY lang
+""".strip()
+
+
 def _snapshot_pruned_read_sql() -> str:
     return """
 WITH n AS (SELECT count(*) AS n FROM documents),
@@ -5617,6 +5686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_base64_roundtrip": q_json_base64_roundtrip,
         "snapshot_time_travel": q_snapshot_time_travel,
         "snapshot_pruned_read": q_snapshot_pruned_read,
+        "snapshot_pruned_dates": q_snapshot_pruned_dates,
         "partition_mapping_quality": q_partition_mapping_quality,
         "in_degrees": q_in_degrees,
         "degree_stats": q_degree_stats,
@@ -5866,6 +5936,7 @@ SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
 SELECT src AS id, count(*)::BIGINT AS out_degree FROM edges GROUP BY src""",
         "snapshot_time_travel": _SNAPSHOT_TIME_TRAVEL_SQL,
         "snapshot_pruned_read": _snapshot_pruned_read_sql(),
+        "snapshot_pruned_dates": _SNAPSHOT_PRUNED_DATES_SQL,
         "partition_mapping_quality": _partition_mapping_quality_sql(
             _CORPUS_PATH, max(10, _CORPUS_N // 50)
         ),

@@ -307,6 +307,7 @@ def trussness(
     deep_cut_dir: str | None = None,
     broadcast_frontier_max: int = 1_000_000,
     verbose: bool = False,
+    orient_frontier: bool = False,
 ) -> DataFrame:
     """Full truss decomposition: (u, v, trussness) per undirected edge,
     where trussness(e) is the largest k such that e survives k-truss
@@ -361,7 +362,16 @@ def trussness(
     ``deep_cut_dir`` defaults to the SparkContext checkpoint dir when
     one is set (required on a multi-machine cluster — executors cannot
     read the driver's local disk) and otherwise to a driver-local temp
-    dir, which is correct only for local[*] / single-host runs.
+    dir, which is correct only for local[*] / single-host runs; scratch
+    created here is removed on exit (success or failure).
+
+    ``orient_frontier`` pivots each removed edge's wedge probe onto its
+    lower-initial-degree endpoint via a STATIC (u, v, pivot) side table
+    computed once up front — bounding per-edge wedge candidates by
+    min(deg_u, deg_v) instead of deg_u. Results are identical either
+    way (the closing-edge check is endpoint-symmetric); see
+    ``BENCH/runs/truss_orientation_probe_r5.json`` for the measured
+    guidance on when to enable it.
     """
     import os
     import tempfile
@@ -402,6 +412,7 @@ def trussness(
             deep_dir=deep_dir,
             broadcast_frontier_max=broadcast_frontier_max,
             verbose=verbose,
+            orient_frontier=orient_frontier,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
@@ -419,6 +430,7 @@ def _trussness_peel(
     deep_dir: str,
     broadcast_frontier_max: int,
     verbose: bool,
+    orient_frontier: bool = False,
 ) -> DataFrame:
     import os
     import time
@@ -457,6 +469,36 @@ def _trussness_peel(
         .repartition(num_partitions, "u", "v")
     )
     n = sup.count()
+    orient = None
+    orient_release = None
+    if orient_frontier:
+        # STATIC per-edge pivot by initial symmetric degree, computed ONCE
+        # (u, v, pu, pv) with pu = the lower-degree endpoint: probing the
+        # pivot's adjacency bounds each removed edge's wedge candidates by
+        # min(deg_u, deg_v) instead of deg_u — the win on hub-skewed
+        # graphs where the id-ordered u is a hub half the time. Kept OUT
+        # of the per-round support state on purpose: the r4 attempt that
+        # threaded degree columns through every lineage cut paid for them
+        # in cut IO every round (SURVEY §7.3 rejection); a static side
+        # table costs one extra scan per round instead.
+        deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        orient, orient_release = bare_checkpoint(
+            sup.select("u", "v")
+            .join(deg.select(F.col("src").alias("u"), F.col("_d").alias("_du")), "u")
+            .join(deg.select(F.col("src").alias("v"), F.col("_d").alias("_dv")), "v")
+            .select(
+                "u",
+                "v",
+                F.when(F.col("_dv") < F.col("_du"), F.col("v"))
+                .otherwise(F.col("u"))
+                .alias("pu"),
+                F.when(F.col("_dv") < F.col("_du"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("pv"),
+            )
+            .repartition(num_partitions, "u", "v")
+        )
+        orient.count()
     cuts.release("sym")  # only the initial orientation needed it
     parts: list[DataFrame] = []  # per-round removed frontiers, already cut
     part_handles: list[object] = []
@@ -539,6 +581,19 @@ def _trussness_peel(
                 # support-0 edges close nothing — skip them in the probe;
                 # adjacency is the live support table scanned both ways
                 frontier = removed.where(F.col("support") > 0).select("u", "v")
+                if orient is not None:
+                    # swap each frontier edge to (pivot, other) so the
+                    # wedge join below fans out from the lower-degree
+                    # endpoint; the closing-edge check is symmetric
+                    # (least/greatest), so correctness is unchanged
+                    fk = (
+                        F.broadcast(frontier)
+                        if n_fr <= broadcast_frontier_max
+                        else frontier
+                    )
+                    frontier = orient.join(fk, ["u", "v"]).select(
+                        F.col("pu").alias("u"), F.col("pv").alias("v")
+                    )
                 fr = F.broadcast(frontier) if n_fr <= broadcast_frontier_max else frontier
                 adj = sup.select(F.col("u"), F.col("v").alias("w")).union(
                     sup.select(F.col("v").alias("u"), F.col("u").alias("w"))
@@ -607,4 +662,6 @@ def _trussness_peel(
         deferred_release()
     if sup_release is not None:
         sup_release()
+    if orient_release is not None:
+        orient_release()
     return out

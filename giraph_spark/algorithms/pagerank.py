@@ -112,24 +112,44 @@ def pagerank(
         )
     state = state.repartition(num_partitions, "id")
 
-    n_vertices = verts.count()
+    # ONE setup aggregate replaces verts.count() + the warm path's total
+    # scan + the first superstep's in-loop _sums job: vertex count, sink
+    # count, and (for the warm path) total / sink mass all come from the
+    # same scan, so superstep 0 starts with the aggregator box already
+    # initialized (fresh start: every rank is exactly 1.0)
+    srow = state.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_sink").cast("long")).alias("n_sinks"),
+        F.sum("rank").alias("mass"),
+        F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(F.lit(0.0))).alias(
+            "sink_mass"
+        ),
+    ).collect()[0]
+    n_vertices = int(srow["n"])
     if n_vertices == 0:
         return PregelRun(vertices=state.select("id", "rank"), supersteps=0, converged=True)
+    init_sink_sum = float(srow["sink_mass"] or 0.0)
     if init_ranks is not None:
         # this formulation CONSERVES the initial mass (new = d·(msgs +
         # sink/N) + (1-d)·allSum/N), so an arbitrary warm vector must be
         # rescaled to the reference's mass-N convention or the fixpoint
         # itself would be scaled by the mass ratio
-        total = float(state.agg(F.sum("rank")).collect()[0][0] or 0.0)
+        total = float(srow["mass"] or 0.0)
         if total > 0:
             state = state.withColumn(
                 "rank", F.col("rank") * F.lit(n_vertices / total)
             )
+            init_sink_sum = init_sink_sum * (n_vertices / total)
 
     d = float(damping)
     # aggregator state visible to the *next* superstep (one-superstep lag,
-    # master/MasterCompute.java:41-47)
-    box: dict[str, float] = {"all_sum": float(n_vertices), "sink_sum": None}  # type: ignore[assignment]
+    # master/MasterCompute.java:41-47). On resume the loop starts from a
+    # snapshot this setup never saw, so the box must fall back to the
+    # lazy in-loop _sums; otherwise it is fully initialized here.
+    box: dict[str, float] = {
+        "all_sum": float(n_vertices),
+        "sink_sum": None if resume else init_sink_sum,
+    }  # type: ignore[assignment]
 
     def _sums(df: DataFrame) -> tuple[float, float]:
         r = df.agg(

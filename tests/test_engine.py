@@ -308,3 +308,32 @@ def test_trussness_empty_frontier_rounds_and_no_leaks(spark):
     # the result frame itself is checkpointed and returned (its blocks are
     # the caller's to free); everything else must be released
     assert len(after_ids - base_ids) <= 2
+
+
+def test_trussness_orientation_parity(spark):
+    """orient_frontier pivots the wedge probe to the lower-degree
+    endpoint (skew optimization) — results must be identical to the
+    unoriented probe on a graph mixing a K5, shared triangles, a chain
+    and a star hub."""
+    import itertools
+
+    from giraph_spark.algorithms.kcore import trussness
+
+    k5 = list(itertools.combinations(range(5), 2))
+    tri = [(10, 11), (11, 12), (10, 12), (11, 13), (12, 13)]
+    chain = [(100 + i, 101 + i) for i in range(8)]
+    star = [(500, 600 + i) for i in range(40)]
+    edges = spark.createDataFrame(k5 + tri + chain + star, "src long, dst long")
+    a = {
+        (r["u"], r["v"]): r["trussness"]
+        for r in trussness(spark, edges, num_partitions=4).collect()
+    }
+    b = {
+        (r["u"], r["v"]): r["trussness"]
+        for r in trussness(
+            spark, edges, num_partitions=4, orient_frontier=True
+        ).collect()
+    }
+    assert a == b
+    assert all(a[e] == 5 for e in k5)  # K5 survives the 5-truss
+    assert all(a[e] == 2 for e in chain + star)
