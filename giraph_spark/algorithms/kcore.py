@@ -307,7 +307,7 @@ def trussness(
     deep_cut_dir: str | None = None,
     broadcast_frontier_max: int = 1_000_000,
     verbose: bool = False,
-    orient_frontier: bool = False,
+    orient_frontier: bool | None = None,
 ) -> DataFrame:
     """Full truss decomposition: (u, v, trussness) per undirected edge,
     where trussness(e) is the largest k such that e survives k-truss
@@ -369,9 +369,16 @@ def trussness(
     lower-initial-degree endpoint via a STATIC (u, v, pivot) side table
     computed once up front — bounding per-edge wedge candidates by
     min(deg_u, deg_v) instead of deg_u. Results are identical either
-    way (the closing-edge check is endpoint-symmetric); see
-    ``BENCH/runs/truss_orientation_probe_r5.json`` for the measured
-    guidance on when to enable it.
+    way (the closing-edge check is endpoint-symmetric). Measured
+    (``BENCH/runs/truss_orientation_probe_r5.json``): **5.9x faster on
+    the hub-skewed mega-hub graph** (352 s -> 60 s, 1.57M edges, top
+    degree ~18k vs avg 31), **4% slower on the dense unskewed sf0.1
+    demo graph** (150 s -> 158 s, avg degree 283, no hubs) where the
+    static table's extra per-round scan has no skew to repay it. The
+    default ``None`` therefore decides ADAPTIVELY from one degree
+    aggregate at setup: orient when max_degree > 20x mean_degree (the
+    two measured graphs sit at ratios ~1100 and ~2). Pass True/False to
+    force either probe.
     """
     import os
     import tempfile
@@ -430,7 +437,7 @@ def _trussness_peel(
     deep_dir: str,
     broadcast_frontier_max: int,
     verbose: bool,
-    orient_frontier: bool = False,
+    orient_frontier: bool | None = None,
 ) -> DataFrame:
     import os
     import time
@@ -471,6 +478,25 @@ def _trussness_peel(
     n = sup.count()
     orient = None
     orient_release = None
+    if orient_frontier is None and n > 0:
+        # adaptive default: one degree aggregate decides whether the
+        # graph is hub-skewed enough for the oriented probe to pay for
+        # its static side table (see the trussness docstring for the two
+        # measured anchor points: ratio ~1100 -> 5.9x win, ratio ~2 ->
+        # 4% loss; threshold 20x sits well between them)
+        drow = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .agg(F.max("_d").alias("mx"), F.avg("_d").alias("av"))
+            .collect()[0]
+        )
+        orient_frontier = float(drow["mx"]) > 20.0 * float(drow["av"] or 1.0)
+        if verbose:
+            print(
+                f"[trussness] degree skew max={drow['mx']} avg={drow['av']:.1f}"
+                f" -> orient_frontier={orient_frontier}",
+                flush=True,
+            )
     if orient_frontier:
         # STATIC per-edge pivot by initial symmetric degree, computed ONCE
         # (u, v, pu, pv) with pu = the lower-degree endpoint: probing the

@@ -160,58 +160,75 @@ def pagerank(
         ).collect()[0]
         return float(r["all_sum"]), float(r["sink_sum"] or 0.0)
 
+    # The step is issued as ONE spark.sql() text per superstep instead of
+    # ~a dozen DataFrame-API calls: each Column/DataFrame builder is its
+    # own py4j round trip, measured ~117 ms of the ~430 ms sf0.1
+    # superstep floor; a SQL string ships the whole plan in one call and
+    # parses/analyzes JVM-side (measured 442 -> 335 ms/superstep, ranks
+    # identical to 1e-10 — FP reorder noise only). Join strategy hints
+    # match the DataFrame formulation exactly:
+    # - SHUFFLE_HASH(v) on the scatter join: sort-merge would re-sort the
+    #   (static, cached, already src-partitioned) edge table every
+    #   superstep; hash-building the much smaller per-superstep rank
+    #   state streams the edges untouched.
+    # - SHUFFLE_HASH(g) on the update join: build the gathered messages,
+    #   probe the co-partitioned state.
+    # The salted variant reproduces gather_messages' retry-safe two-level
+    # reduction (content-hashed salt, pregel.py:104-114) in SQL.
+    import uuid
+
+    uid = uuid.uuid4().hex[:8]
+    ev, sv, nv = f"pr_edges_{uid}", f"pr_state_{uid}", f"pr_new_{uid}"
+    e.createOrReplaceTempView(ev)
+    if salt and salt > 1:
+        gather_cte = f"""m AS (
+        SELECT /*+ SHUFFLE_HASH(v) */ e.dst AS dst, v.rank * e.weight AS msg
+        FROM {ev} e JOIN {sv} v ON e.src = v.id
+      ),
+      s1 AS (
+        SELECT dst, sum(msg) AS msg
+        FROM m GROUP BY dst, pmod(xxhash64(dst, msg), {int(salt)})
+      ),
+      g AS (SELECT dst, sum(msg) AS msg FROM s1 GROUP BY dst)"""
+    else:
+        gather_cte = f"""g AS (
+        SELECT /*+ SHUFFLE_HASH(v) */ e.dst AS dst, sum(v.rank * e.weight) AS msg
+        FROM {ev} e JOIN {sv} v ON e.src = v.id
+        GROUP BY e.dst
+      )"""
+    step_sql = (
+        "WITH " + gather_cte + f"""
+      SELECT /*+ SHUFFLE_HASH(g) */ v.id,
+             {{d}} * coalesce(g.msg, 0.0) + {{base}} AS rank,
+             v.is_sink,
+             {{d}} * coalesce(g.msg, 0.0) + {{base}} - v.rank AS _delta
+      FROM {sv} v LEFT JOIN g ON v.id = g.dst"""
+    )
+    agg_sql = f"""
+      SELECT sum(rank) AS all_sum,
+             sum(CASE WHEN is_sink THEN rank ELSE 0.0 END) AS sink_sum,
+             sum(abs(_delta)) AS l1,
+             max(abs(_delta)) AS linf,
+             sqrt(avg(_delta * _delta)) AS rmse
+      FROM {nv}"""
+
     def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
-        if box["sink_sum"] is None:  # first superstep (or fresh resume)
+        if box["sink_sum"] is None:  # resume from a snapshot this setup never saw
             box["all_sum"], box["sink_sum"] = _sums(vertices)
         all_sum, sink_sum = box["all_sum"], box["sink_sum"]
+        base = d * sink_sum / n_vertices + (1.0 - d) * all_sum / n_vertices
 
-        # SHUFFLE_HASH on the rank side: sort-merge would re-sort the
-        # (static, cached, already src-partitioned) edge table every
-        # superstep; hash-building the much smaller per-superstep rank
-        # state streams the edges untouched. Build side = vertex state /
-        # partition — the same per-partition-state-fits-in-memory bound
-        # the gather's hash aggregation already assumes.
-        msgs = (
-            e.join(
-                vertices.select(F.col("id").alias("src"), "rank").hint("shuffle_hash"),
-                "src",
-            )
-            .select("dst", (F.col("rank") * F.col("weight")).alias("msg"))
-        )
-        gathered = gather_messages(msgs, [("msg", "sum")], key="dst", salt=salt)
-
-        base = F.lit(d * sink_sum / n_vertices + (1.0 - d) * all_sum / n_vertices)
-        new_state = (
-            vertices.join(
-                gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"),
-                "id",
-                "left",
-            )
-            .select(
-                "id",
-                (F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0)) + base).alias("rank"),
-                "is_sink",
-                (F.lit(d) * F.coalesce(F.col("msg"), F.lit(0.0)) + base - F.col("rank")).alias(
-                    "_delta"
-                ),
-            )
-        )
+        vertices.createOrReplaceTempView(sv)
+        new_state = spark.sql(step_sql.format(d=repr(d), base=repr(base)))
         # LAZY lineage cut BEFORE the action: the convergence aggregate
         # below materializes the checkpoint blocks in ITS job, so the
         # superstep costs exactly one Spark job (the loop's step_precut
         # mode skips the separate eager-cut job — measured ~120 ms of
         # the sf0.1 superstep floor)
         new_state = new_state.localCheckpoint(eager=False)
+        new_state.createOrReplaceTempView(nv)
         # ONE action: next-iteration sums + all convergence reducers
-        row = new_state.agg(
-            F.sum("rank").alias("all_sum"),
-            F.sum(F.when(F.col("is_sink"), F.col("rank")).otherwise(F.lit(0.0))).alias(
-                "sink_sum"
-            ),
-            F.sum(F.abs(F.col("_delta"))).alias("l1"),
-            F.max(F.abs(F.col("_delta"))).alias("linf"),
-            F.sqrt(F.avg(F.col("_delta") * F.col("_delta"))).alias("rmse"),
-        ).collect()[0]
+        row = spark.sql(agg_sql).collect()[0]
         box["all_sum"], box["sink_sum"] = float(row["all_sum"]), float(row["sink_sum"] or 0.0)
         stats = {
             "all_sum": box["all_sum"],
@@ -227,21 +244,29 @@ def pagerank(
     if tolerance is not None:
         halt = lambda stats, i: stats[convergence] < tolerance  # noqa: E731
 
-    run = run_supersteps(
-        spark,
-        state,
-        step,
-        max_supersteps=max_supersteps,
-        halt=halt,
-        checkpoint_dir=checkpoint_dir,
-        checkpoint_interval=checkpoint_interval,
-        resume=resume,
-        verbose=verbose,
-        # precut mode cuts lineage every superstep by construction (the
-        # step pre-issues a lazy localCheckpoint its own convergence
-        # aggregate materializes), so there is no cut-interval knob here
-        step_precut=True,
-    )
+    try:
+        run = run_supersteps(
+            spark,
+            state,
+            step,
+            max_supersteps=max_supersteps,
+            halt=halt,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_interval=checkpoint_interval,
+            resume=resume,
+            verbose=verbose,
+            # precut mode cuts lineage every superstep by construction
+            # (the step pre-issues a lazy localCheckpoint its own
+            # convergence aggregate materializes), so there is no
+            # cut-interval knob here
+            step_precut=True,
+        )
+    finally:
+        for view in (ev, sv, nv):
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:  # noqa: BLE001 — view may never have been created
+                pass
     e.unpersist()
     return PregelRun(
         vertices=run.vertices.select("id", "rank"),
