@@ -97,6 +97,69 @@ def label_propagation(
     # changed count decides this round's full-vs-incremental plan
     box: dict[str, Any] = {"changed": None, "n": None, "e_dst": None}
 
+    # Each superstep is ONE spark.sql() text instead of ~15 DataFrame-API
+    # py4j round trips — same rationale and measurement as the PageRank
+    # step (pagerank.py: ~117 ms/superstep of plan-building py4j). The
+    # two-stage mode (count per (dst, label), map-side combined, then
+    # max_by argmax with the deterministic smaller-label tie-break) and
+    # every join-strategy hint carry over verbatim.
+    import uuid
+
+    uid = uuid.uuid4().hex[:8]
+    ev, edv, sv, nv = (
+        f"lpa_edges_{uid}",
+        f"lpa_edges_dst_{uid}",
+        f"lpa_state_{uid}",
+        f"lpa_new_{uid}",
+    )
+    e.createOrReplaceTempView(ev)
+    vote_expr = "sum(j._w)" if weight_col is not None else "count(1)"
+    wcol = ", ve._w AS _w" if weight_col is not None else ""
+    wcol_full = ", e._w AS _w" if weight_col is not None else ""
+
+    def _tail_sql(source_cte: str) -> str:
+        return f"""c AS (
+        SELECT dst, label, {vote_expr.replace('j.', '')} AS cnt
+        FROM {source_cte} GROUP BY dst, label
+      ),
+      m AS (
+        SELECT dst, max_by(label, struct(cnt, -label)) AS new_label
+        FROM c GROUP BY dst
+      )
+      SELECT /*+ SHUFFLE_HASH(m) */ v.id,
+             coalesce(m.new_label, v.label) AS label,
+             (coalesce(m.new_label, v.label) != v.label) AS _changed
+      FROM {sv} v LEFT JOIN m ON v.id = m.dst"""
+
+    full_sql = f"""WITH j AS (
+        SELECT /*+ SHUFFLE_HASH(v) */ e.dst AS dst, v.label AS label{wcol_full}
+        FROM {ev} e JOIN {sv} v ON e.src = v.id
+      ),
+      """ + _tail_sql("j")
+    # incremental: frontier = vertices whose label changed last round;
+    # affected dsts = their out-neighborhood (frontier shuffled to the
+    # cached src-partitioned table — O(frontier)); votes recounted only
+    # for edges INTO affected dsts via a semi-join against the
+    # dst-partitioned copy (affected shuffled, edges stay put)
+    incr_sql = f"""WITH ch AS (SELECT id AS src FROM {sv} WHERE _changed),
+      aff AS (
+        SELECT /*+ SHUFFLE_HASH(ch) */ DISTINCT e.dst AS dst
+        FROM {ev} e JOIN ch ON e.src = ch.src
+      ),
+      ve AS (
+        SELECT /*+ SHUFFLE_HASH(aff) */ ed.*
+        FROM {edv} ed LEFT SEMI JOIN aff ON ed.dst = aff.dst
+      ),
+      j AS (
+        SELECT /*+ SHUFFLE_HASH(v) */ ve.dst AS dst, v.label AS label{wcol}
+        FROM ve JOIN {sv} v ON ve.src = v.id
+      ),
+      """ + _tail_sql("j")
+    agg_sql = (
+        f"SELECT sum(CASE WHEN _changed THEN 1 ELSE 0 END) AS c, "
+        f"count(1) AS n FROM {nv}"
+    )
+
     def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
         prev_changed = box["changed"]
         use_incr = (
@@ -105,58 +168,15 @@ def label_propagation(
             and box["n"] is not None
             and 0 < prev_changed <= incremental_threshold * box["n"]
         )
-        if use_incr:
-            if box["e_dst"] is None:
-                box["e_dst"] = e.repartition(num_partitions, "dst").persist()
-            # frontier = vertices whose label changed last round; affected
-            # dsts = their out-neighborhood (scan of the cached src-
-            # partitioned table, frontier shuffled to it — O(frontier))
-            changed_src = vertices.where("_changed").select(F.col("id").alias("src"))
-            affected = (
-                e.join(changed_src.hint("shuffle_hash"), "src")
-                .select("dst")
-                .distinct()
-            )
-            # restrict to edges INTO affected dsts: semi-join against the
-            # dst-partitioned copy (affected shuffled, edges stay put)
-            vote_edges = box["e_dst"].join(
-                affected.hint("shuffle_hash"), "dst", "left_semi"
-            )
-        else:
-            vote_edges = e
-        joined = vote_edges.join(
-            vertices.select(F.col("id").alias("src"), "label").hint("shuffle_hash"),
-            "src",
-        )
-        # two-stage mode: count per (dst, label) — map-side combined — then
-        # argmax per dst with deterministic tie-break to the smaller label
-        if weight_col is not None:
-            counts = joined.select("dst", "label", "_w").groupBy(
-                "dst", "label"
-            ).agg(F.sum("_w").alias("cnt"))
-        else:
-            counts = joined.select("dst", "label").groupBy("dst", "label").agg(
-                F.count(F.lit(1)).alias("cnt")
-            )
-        mode = counts.groupBy("dst").agg(
-            F.expr("max_by(label, struct(cnt, -label))").alias("new_label")
-        )
-        new_state = (
-            vertices.join(
-                mode.withColumnRenamed("dst", "id").hint("shuffle_hash"), "id", "left"
-            )
-            .select(
-                "id",
-                F.coalesce("new_label", "label").alias("label"),
-                (F.coalesce("new_label", "label") != F.col("label")).alias("_changed"),
-            )
-            # lazy cut materialized by the aggregate below (step_precut)
-            .localCheckpoint(eager=False)
-        )
-        row = new_state.agg(
-            F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("c"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
+        if use_incr and box["e_dst"] is None:
+            box["e_dst"] = e.repartition(num_partitions, "dst").persist()
+            box["e_dst"].createOrReplaceTempView(edv)
+        vertices.createOrReplaceTempView(sv)
+        new_state = spark.sql(incr_sql if use_incr else full_sql)
+        # lazy cut materialized by the aggregate below (step_precut)
+        new_state = new_state.localCheckpoint(eager=False)
+        new_state.createOrReplaceTempView(nv)
+        row = spark.sql(agg_sql).collect()[0]
         box["changed"] = int(row["c"] or 0)
         box["n"] = int(row["n"])
         return new_state, {
@@ -164,18 +184,25 @@ def label_propagation(
             "incremental": bool(use_incr),
         }
 
-    run = run_supersteps(
-        spark,
-        state,
-        step,
-        max_supersteps=max_supersteps,
-        halt=lambda stats, i: stats["changed"] == 0,
-        checkpoint_dir=checkpoint_dir,
-        checkpoint_interval=checkpoint_interval,
-        resume=resume,
-        verbose=verbose,
-        step_precut=True,
-    )
+    try:
+        run = run_supersteps(
+            spark,
+            state,
+            step,
+            max_supersteps=max_supersteps,
+            halt=lambda stats, i: stats["changed"] == 0,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_interval=checkpoint_interval,
+            resume=resume,
+            verbose=verbose,
+            step_precut=True,
+        )
+    finally:
+        for view in (ev, edv, sv, nv):
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:  # noqa: BLE001 — view may never have been created
+                pass
     e.unpersist()
     if box["e_dst"] is not None:
         box["e_dst"].unpersist()
