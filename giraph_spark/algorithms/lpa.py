@@ -76,6 +76,12 @@ def label_propagation(
     O(|E|). Costs a second dst-partitioned cached copy of the edge table
     (built lazily on first use). ``None`` disables (always full scatter).
     """
+    # the superstep runs as spark.sql over temp views, so the views and
+    # the SQL must resolve in the SAME session: inside foreachBatch the
+    # frames belong to a CLONED session whose temp-view catalog is
+    # isolated from the outer session's — always work in the session
+    # that owns the edge frame (identical to `spark` everywhere else)
+    spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if weight_col is not None:

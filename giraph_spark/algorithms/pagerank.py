@@ -71,6 +71,12 @@ def pagerank(
     """
     if convergence not in ("l1", "l1_mean", "linf", "rmse"):
         raise ValueError(f"unknown convergence type {convergence!r}")
+    # the superstep runs as spark.sql over temp views, so the views and
+    # the SQL must resolve in the SAME session: inside foreachBatch the
+    # frames belong to a CLONED session whose temp-view catalog is
+    # isolated from the outer session's — always work in the session
+    # that owns the edge frame (identical to `spark` everywhere else)
+    spark = edges.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
