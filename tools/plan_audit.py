@@ -78,6 +78,32 @@ def main() -> None:
     checks.append(("pagerank: no nested-loop/cartesian",
                    "NestedLoop" not in p and "Cartesian" not in p, p))
 
+    # 2b. the LIVE SQL-text superstep (round 5: pagerank/wcc/lpa ship
+    # each superstep as one spark.sql string) — same plan properties
+    # must hold: both joins ShuffledHashJoin, map-side partial sum,
+    # no nested-loop/cartesian
+    e.createOrReplaceTempView("audit_edges")
+    state = ranks.withColumn("is_sink", F.lit(False))
+    state.createOrReplaceTempView("audit_state")
+    step = spark.sql("""
+      WITH g AS (
+        SELECT /*+ SHUFFLE_HASH(v) */ e.dst AS dst, sum(v.rank * e.weight) AS msg
+        FROM audit_edges e JOIN audit_state v ON e.src = v.id
+        GROUP BY e.dst
+      )
+      SELECT /*+ SHUFFLE_HASH(g) */ v.id,
+             0.85 * coalesce(g.msg, 0.0) + 0.15 AS rank,
+             v.is_sink,
+             0.85 * coalesce(g.msg, 0.0) + 0.15 - v.rank AS _delta
+      FROM audit_state v LEFT JOIN g ON v.id = g.dst""")
+    p = explain_str(step)
+    checks.append(("sql-text superstep: BOTH joins ShuffledHashJoin",
+                   p.count("ShuffledHashJoin") >= 2, p))
+    checks.append(("sql-text superstep: map-side partial aggregate",
+                   "partial_sum" in p, p))
+    checks.append(("sql-text superstep: no nested-loop/cartesian",
+                   "NestedLoop" not in p and "Cartesian" not in p, p))
+
     # 3. triangles: oriented wedge join, no cartesian
     from giraph_spark.algorithms.triangles import _oriented, _triangle_list_from
     o = _oriented(edges, symmetrize_input=True)
