@@ -26,12 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from giraph_spark.graph import symmetrize, vertices_from_edges
-from giraph_spark.pregel import (
-    PregelRun,
-    gather_messages,
-    materialize_count,
-    run_supersteps,
-)
+from giraph_spark.pregel import PregelRun, run_supersteps
 
 
 def label_propagation(
@@ -229,6 +224,7 @@ def max_label_propagation(
 ) -> PregelRun:
     """Max-label propagation (MaxComputation.java:30-47): every vertex
     converges to the max id reachable along edge direction; send-on-change."""
+    spark = edges.sparkSession  # view resolution — see label_propagation
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select("src", "dst").repartition(num_partitions, "src").persist()
@@ -237,36 +233,47 @@ def max_label_propagation(
         "id", F.col("id").alias("label"), F.lit(True).alias("changed")
     )
 
-    def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
-        frontier = vertices.where("changed").select(F.col("id").alias("src"), "label")
-        msgs = e.join(frontier.hint("shuffle_hash"), "src").select(
-            "dst", F.col("label").alias("msg")
-        )
-        gathered = gather_messages(msgs, [("msg", "max")], key="dst")
-        new_state = (
-            vertices.join(
-                gathered.withColumnRenamed("dst", "id").hint("shuffle_hash"),
-                "id",
-                "left",
-            )
-            .select(
-                "id",
-                F.greatest("label", F.coalesce("msg", "label")).alias("label"),
-                (F.coalesce("msg", "label") > F.col("label")).alias("changed"),
-            )
-            .localCheckpoint(eager=False)
-        )
-        return new_state, {"changed": materialize_count(new_state, "changed")}
+    # one spark.sql() text per superstep — the WCC shape with max/greatest
+    import uuid
 
-    run = run_supersteps(
-        spark,
-        state,
-        step,
-        max_supersteps=max_supersteps,
-        halt=lambda stats, i: stats["changed"] == 0,
-        verbose=verbose,
-        step_precut=True,
-    )
+    uid = uuid.uuid4().hex[:8]
+    ev, sv, nv = f"maxlp_edges_{uid}", f"maxlp_state_{uid}", f"maxlp_new_{uid}"
+    e.createOrReplaceTempView(ev)
+    step_sql = f"""WITH g AS (
+        SELECT /*+ SHUFFLE_HASH(v) */ e.dst AS dst, max(v.label) AS msg
+        FROM {ev} e JOIN {sv} v ON e.src = v.id
+        WHERE v.changed
+        GROUP BY e.dst
+      )
+      SELECT /*+ SHUFFLE_HASH(g) */ v.id,
+             greatest(v.label, coalesce(g.msg, v.label)) AS label,
+             (coalesce(g.msg, v.label) > v.label) AS changed
+      FROM {sv} v LEFT JOIN g ON v.id = g.dst"""
+    count_sql = f"SELECT sum(CASE WHEN changed THEN 1 ELSE 0 END) AS c FROM {nv}"
+
+    def step(vertices: DataFrame, superstep: int) -> tuple[DataFrame, dict[str, Any]]:
+        vertices.createOrReplaceTempView(sv)
+        new_state = spark.sql(step_sql).localCheckpoint(eager=False)
+        new_state.createOrReplaceTempView(nv)
+        row = spark.sql(count_sql).collect()[0]
+        return new_state, {"changed": int(row["c"] or 0)}
+
+    try:
+        run = run_supersteps(
+            spark,
+            state,
+            step,
+            max_supersteps=max_supersteps,
+            halt=lambda stats, i: stats["changed"] == 0,
+            verbose=verbose,
+            step_precut=True,
+        )
+    finally:
+        for view in (ev, sv, nv):
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:  # noqa: BLE001 — view may never have been created
+                pass
     e.unpersist()
     return PregelRun(
         vertices=run.vertices.select("id", "label"),
