@@ -53,14 +53,49 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    # --- Python-worker warm-up (disclosed, timed separately) --------------
-    # the corpus phase is this session's FIRST job, so without this it
-    # absorbs the one-time cost of forking 32 Python workers and
-    # importing pandas/numpy in each (~4-5 s measured) — startup a
-    # production pipeline amortizes over hours, same rule as jit_warmup
+    # --- warm-up (disclosed, timed as one overlapped phase) ----------------
+    # Two one-time costs a production pipeline amortizes over hours:
+    # (a) forking the 32 Python workers + their first Arrow batch (the
+    #     worker daemon pre-imports pandas/numpy/pyarrow — see
+    #     giraph_spark/daemon_warm.py — so this is fork + first-batch
+    #     plumbing, not 32x contended imports), and
+    # (b) C2-compiling the superstep join/agg pipeline (~4-5 s; same rule
+    #     as the scaling protocol's excluded warm-up supersteps).
+    # (a) is Python-process work and (b) is pure JVM codegen on a
+    # JVM-generated edge table (no Python workers involved), so the two
+    # warm-ups run CONCURRENTLY on separate driver threads and the phase
+    # costs max(a, b) instead of a + b (measured 11.2 s -> ~6 s).
+    import threading
+
+    warm_errs: list[BaseException] = []
+
+    def _py_warm() -> None:
+        try:
+            build_edges(synth_corpus(spark, n_pages=2_000, seed=7)).count()
+        except BaseException as exc:  # noqa: BLE001
+            warm_errs.append(exc)
+
+    def _jit_warm() -> None:
+        try:
+            toy = spark.range(0, 20_000).select(
+                (F.col("id") % 3_000).alias("src"),
+                ((F.col("id") * 2654435761) % 3_000).alias("dst"),
+            )
+            pagerank(spark, toy, damping=0.85, max_supersteps=6,
+                     tolerance=None, num_partitions=8)
+        except BaseException as exc:  # noqa: BLE001
+            warm_errs.append(exc)
+
     t0 = time.time()
-    build_edges(synth_corpus(spark, n_pages=2_000, seed=7)).count()
-    timings["py_warmup"] = time.time() - t0
+    threads = [threading.Thread(target=_py_warm),
+               threading.Thread(target=_jit_warm)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if warm_errs:
+        raise warm_errs[0]
+    timings["warmup"] = time.time() - t0
 
     # --- corpus -> edge table (Arrow-vectorized extraction path) ----------
     t0 = time.time()
@@ -76,22 +111,6 @@ def main() -> None:
     nparts = suggest_num_partitions(n_edges, cpus)
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     extra["num_partitions"] = nparts
-
-    # --- JIT warm-up (disclosed, timed separately) -------------------------
-    # C2-compile the superstep pipeline on a small slice first: a
-    # production job amortizes codegen over hours; without this the
-    # headline conflates one-time JIT (~7s) with steady-state throughput
-    # (same rule as the scaling protocol's excluded warm-up supersteps).
-    t0 = time.time()
-    pagerank(
-        spark,
-        edges.limit(20_000),
-        damping=0.85,
-        max_supersteps=6,
-        tolerance=None,
-        num_partitions=nparts,
-    )
-    timings["jit_warmup"] = time.time() - t0
 
     # --- headline: PageRank to 1e-6 convergence ---------------------------
     t0 = time.time()

@@ -465,7 +465,12 @@ def _trussness_peel(
             tris.select(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("v"))
         )
     )
-    from giraph_spark.pregel import _checkpointed_jrdd, bare_checkpoint
+    from giraph_spark.pregel import (
+        _checkpointed_jrdd,
+        _gated_release,
+        bare_checkpoint,
+        flush_releases,
+    )
 
     sup, sup_release = bare_checkpoint(
         sym.where(F.col("src") < F.col("dst"))
@@ -580,8 +585,7 @@ def _trussness_peel(
             rm_handle = _checkpointed_jrdd(removed)
             _t1 = time.time()
             if n_rm == 0:
-                if rm_handle is not None:
-                    rm_handle.unpersist(False)
+                _gated_release(spark.sparkContext, rm_handle)
                 break
             parts.append(
                 removed.select(
@@ -683,11 +687,14 @@ def _trussness_peel(
             acc = acc.union(p)
         out = acc.coalesce(num_partitions).localCheckpoint(eager=True)
     for h in part_handles:
-        h.unpersist(False)  # type: ignore[attr-defined]
+        _gated_release(spark.sparkContext, h)
     if deferred_release is not None:
         deferred_release()
     if sup_release is not None:
         sup_release()
     if orient_release is not None:
         orient_release()
+    # the decomposition is done: wait out any stragglers still reading a
+    # released block, then free everything (bounded; see flush_releases)
+    flush_releases()
     return out

@@ -202,6 +202,97 @@ def materialize_count(df: DataFrame, pred_col: str) -> int:
     return int(row["c"] or 0)
 
 
+# --- job-completion-gated checkpoint-block release -----------------------
+#
+# Releasing a localCheckpoint block that a still-running task reads aborts
+# that task unrecoverably (the lineage is truncated by construction). The
+# engine's driver loops release in program order AFTER awaiting each
+# action, which is safe — except for (a) orphaned stages: an AQE replan
+# can let an action return while an already-submitted stage of a pruned
+# subtree is still running (the r4 trussness race), and (b) any caller
+# that overlaps actions from a second thread. Instead of unpersisting
+# immediately, every release below is GATED: the blocks are freed only
+# once no job/stage that was live at release-request time is still
+# active. In the single-threaded loops the active sets are empty at
+# request time and the free happens inline (no behavior change, ~1 py4j
+# call); under overlap the free is deferred and drained on subsequent
+# release/cut calls. The reference trusts its BSP barrier for the same
+# guarantee (worker/BspServiceWorker.finishSuperstep() waits for all
+# workers before checkpoint cleanup).
+
+_PENDING_RELEASES: list[tuple[Any, frozenset, object]] = []
+
+
+def _live_work_ids(sc) -> frozenset:
+    """Ids of currently-active jobs AND stages (tagged to keep the two id
+    spaces distinct). Stages matter independently: an orphaned stage can
+    outlive its job's action returning (AQE empty-relation replan)."""
+    try:
+        t = sc.statusTracker()
+        return frozenset(
+            [("j", j) for j in t.getActiveJobsIds()]
+            + [("s", s) for s in t.getActiveStageIds()]
+        )
+    except Exception:  # noqa: BLE001
+        return frozenset()
+
+
+def drain_releases() -> int:
+    """Free every pending handle whose watched jobs/stages have all
+    finished; return how many remain pending."""
+    global _PENDING_RELEASES
+    if not _PENDING_RELEASES:
+        return 0
+    still: list[tuple[Any, frozenset, object]] = []
+    live_cache: dict[int, frozenset] = {}
+    for sc, watched, handle in _PENDING_RELEASES:
+        key = id(sc)
+        if key not in live_cache:
+            live_cache[key] = _live_work_ids(sc)
+        if watched & live_cache[key]:
+            still.append((sc, watched, handle))
+        else:
+            try:
+                handle.unpersist(False)  # type: ignore[attr-defined]
+            except Exception:  # noqa: BLE001
+                pass
+    _PENDING_RELEASES = still
+    return len(still)
+
+
+def _gated_release(sc, handle) -> None:
+    """Release ``handle``'s checkpoint blocks as soon as nothing that was
+    running at request time can still read them."""
+    drain_releases()
+    if handle is None:
+        return
+    watched = _live_work_ids(sc)
+    if not watched:
+        try:
+            handle.unpersist(False)  # type: ignore[attr-defined]
+        except Exception:  # noqa: BLE001
+            pass
+    else:
+        _PENDING_RELEASES.append((sc, watched, handle))
+
+
+def flush_releases(timeout: float = 30.0) -> None:
+    """Wait (bounded) for every pending release's watched work to finish,
+    then free the blocks. Call at the end of an iterative loop; after the
+    timeout the caller's no-future-reads assertion wins and the blocks
+    are freed regardless (a straggler past ``timeout`` is already lost)."""
+    global _PENDING_RELEASES
+    deadline = time.time() + timeout
+    while drain_releases() and time.time() < deadline:
+        time.sleep(0.05)
+    for _sc, _watched, handle in _PENDING_RELEASES:
+        try:
+            handle.unpersist(False)  # type: ignore[attr-defined]
+        except Exception:  # noqa: BLE001
+            pass
+    _PENDING_RELEASES = []
+
+
 def _checkpointed_jrdd(df: DataFrame):
     """Best-effort handle to the java RDD backing a localCheckpoint'ed
     DataFrame (LogicalRDD.rdd), for explicit release — there is no public
@@ -251,9 +342,10 @@ def bare_checkpoint(df: DataFrame) -> tuple[DataFrame, Callable[[], None]]:
     )
     bare = DataFrame(jdf, spark)
 
+    sc = spark.sparkContext
+
     def release() -> None:
-        if handle is not None:
-            handle.unpersist(False)  # type: ignore[attr-defined]
+        _gated_release(sc, handle)
 
     # expose the checkpointed java-RDD handle for tests/diagnostics that
     # need the concrete rdd id (e.g. asserting release() freed exactly
@@ -278,7 +370,7 @@ class LineageCuts:
         out = df.localCheckpoint(eager=True)
         prev = self._handles.get(slot)
         if prev is not None:
-            prev.unpersist(False)  # type: ignore[attr-defined]
+            _gated_release(df.sparkSession.sparkContext, prev)
         self._handles[slot] = _checkpointed_jrdd(out)
         return out
 
@@ -288,10 +380,13 @@ class LineageCuts:
         self._handles.pop(slot, None)
 
     def release(self, slot: str) -> None:
-        """Free a slot's blocks now (nothing downstream reads them)."""
+        """Free a slot's blocks once no live job/stage can read them."""
         prev = self._handles.pop(slot, None)
         if prev is not None:
-            prev.unpersist(False)  # type: ignore[attr-defined]
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            _gated_release(spark.sparkContext if spark else None, prev)
 
 
 @dataclass
@@ -453,19 +548,15 @@ def run_supersteps(
                     # the reliable snapshot replaces the precut state:
                     # release this superstep's (and the pending previous)
                     # checkpoint blocks now — nothing reads them again
-                    cur_jrdd = _checkpointed_jrdd(current)
-                    if cur_jrdd is not None:
-                        cur_jrdd.unpersist(False)
-                    if prev_cut_jrdd is not None:
-                        prev_cut_jrdd.unpersist(False)
+                    _gated_release(spark.sparkContext, _checkpointed_jrdd(current))
+                    _gated_release(spark.sparkContext, prev_cut_jrdd)
                     prev_cut_jrdd = None
                 current.unpersist()
                 current = reloaded.persist()
             elif step_precut:
                 # the step's action already materialized this superstep's
                 # checkpoint blocks — just swap the release handles
-                if prev_cut_jrdd is not None:
-                    prev_cut_jrdd.unpersist(False)
+                _gated_release(spark.sparkContext, prev_cut_jrdd)
                 prev_cut_jrdd = _checkpointed_jrdd(current)
                 if prev_cut_jrdd is not None:
                     try:
@@ -511,8 +602,7 @@ def run_supersteps(
                 # release the PREVIOUS cut's checkpointed RDD: unlike persist(),
                 # localCheckpoint blocks are not freed by DataFrame.unpersist,
                 # so a long run would otherwise hold every superstep's state
-                if prev_cut_jrdd is not None:
-                    prev_cut_jrdd.unpersist(False)
+                _gated_release(spark.sparkContext, prev_cut_jrdd)
                 prev_cut_jrdd = _checkpointed_jrdd(cut)
                 if prev_cut_jrdd is not None:
                     try:
@@ -532,6 +622,10 @@ def run_supersteps(
             hooks.post_application(current)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+        # opportunistic, non-forcing: free any release whose watched
+        # work has finished (the loop's own releases are usually freed
+        # inline; this catches ones deferred past a straggler)
+        drain_releases()
     return PregelRun(
         vertices=current, supersteps=superstep, converged=converged, history=history
     )

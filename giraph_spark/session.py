@@ -32,6 +32,16 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
+    # Make giraph_spark importable by the worker daemon: the JVM we are
+    # about to launch hands its own environment to every Python worker
+    # process, and spark.python.daemon.module (below) needs the package
+    # on the worker's sys.path. Must happen BEFORE the gateway launches.
+    _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _pp = os.environ.get("PYTHONPATH", "")
+    if _repo_root not in _pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _repo_root + os.pathsep + _pp if _pp else _repo_root
+        )
     builder = SparkSession.builder.appName(app_name)
     # Under spark-submit the gateway JVM is already up with the submitted
     # conf (--master yarn/k8s/...); PYSPARK_GATEWAY_PORT marks that path
@@ -76,6 +86,11 @@ def get_spark(
         # 27s -> 90s under a 1min periodic GC); superseded lineage cuts
         # are released explicitly (pregel.py prev_cut_jrdd) instead
         .config("spark.sql.session.timeZone", "UTC")
+        # pre-import numpy/pandas/pyarrow in the worker daemon so forked
+        # workers inherit them copy-on-write: the first Arrow job no
+        # longer pays num_slots x ~1.5s of contended imports (measured
+        # ~4-5s at local[32]; see giraph_spark/daemon_warm.py)
+        .config("spark.python.daemon.module", "giraph_spark.daemon_warm")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

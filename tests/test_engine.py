@@ -337,3 +337,84 @@ def test_trussness_orientation_parity(spark):
     assert a == b
     assert all(a[e] == 5 for e in k5)  # K5 survives the 5-truss
     assert all(a[e] == 2 for e in chain + star)
+
+
+def test_gated_release_pool_bookkeeping():
+    """Deterministic unit test of the job/stage-gated release pool
+    (pregel._gated_release / drain_releases / flush_releases): a handle
+    whose watched job or stage is still live must NOT be freed, a drain
+    after the work finishes must free it, and flush force-frees after
+    its bounded wait. Uses fakes so no Spark scheduling races apply."""
+    from giraph_spark import pregel
+
+    class FakeHandle:
+        def __init__(self):
+            self.freed = False
+
+        def unpersist(self, blocking):
+            self.freed = True
+
+    class FakeTracker:
+        def __init__(self, owner):
+            self.owner = owner
+
+        def getActiveJobsIds(self):
+            return list(self.owner.jobs)
+
+        def getActiveStageIds(self):
+            return list(self.owner.stages)
+
+    class FakeSC:
+        def __init__(self, jobs=(), stages=()):
+            self.jobs = set(jobs)
+            self.stages = set(stages)
+
+        def statusTracker(self):
+            return FakeTracker(self)
+
+    assert pregel.drain_releases() == 0, "pool must start empty in-suite"
+
+    # no live work at request time -> freed inline
+    sc = FakeSC()
+    h0 = FakeHandle()
+    pregel._gated_release(sc, h0)
+    assert h0.freed and pregel.drain_releases() == 0
+
+    # a live job at request time -> deferred until that job finishes
+    sc.jobs = {7}
+    h1 = FakeHandle()
+    pregel._gated_release(sc, h1)
+    assert not h1.freed
+    assert pregel.drain_releases() == 1 and not h1.freed
+    sc.jobs = set()
+    assert pregel.drain_releases() == 0 and h1.freed
+
+    # a live STAGE alone (orphaned stage, job already returned) defers too
+    sc.stages = {3}
+    h2 = FakeHandle()
+    pregel._gated_release(sc, h2)
+    assert not h2.freed
+    # a new job appearing later does NOT keep the old handle pinned:
+    # only ids watched at request time gate the free
+    sc.stages = set()
+    sc.jobs = {99}
+    assert pregel.drain_releases() == 0 and h2.freed
+
+    # flush force-frees after the bounded wait even if work never ends
+    sc2 = FakeSC(jobs={1})
+    h3 = FakeHandle()
+    pregel._gated_release(sc2, h3)
+    assert not h3.freed
+    pregel.flush_releases(timeout=0.2)
+    assert h3.freed and pregel.drain_releases() == 0
+
+    # None handle and a broken tracker degrade gracefully
+    pregel._gated_release(sc2, None)
+
+    class BrokenSC:
+        def statusTracker(self):
+            raise RuntimeError("gone")
+
+    h4 = FakeHandle()
+    pregel._gated_release(BrokenSC(), h4)
+    assert h4.freed  # unknown liveness -> free now (pre-gating behavior)
