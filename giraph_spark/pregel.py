@@ -221,6 +221,7 @@ def materialize_count(df: DataFrame, pred_col: str) -> int:
 # workers before checkpoint cleanup).
 
 _PENDING_RELEASES: list[tuple[Any, frozenset, object]] = []
+_RELEASES_LOCK = __import__("threading").Lock()
 
 
 def _live_work_ids(sc) -> frozenset:
@@ -239,13 +240,18 @@ def _live_work_ids(sc) -> frozenset:
 
 def drain_releases() -> int:
     """Free every pending handle whose watched jobs/stages have all
-    finished; return how many remain pending."""
+    finished; return how many remain pending. Thread-safe: a release can
+    be requested from a streaming foreachBatch thread while the main
+    loop drains (the lock stops a concurrent append from being lost
+    when the pending list is swapped)."""
     global _PENDING_RELEASES
-    if not _PENDING_RELEASES:
+    with _RELEASES_LOCK:
+        pending, _PENDING_RELEASES = _PENDING_RELEASES, []
+    if not pending:
         return 0
     still: list[tuple[Any, frozenset, object]] = []
     live_cache: dict[int, frozenset] = {}
-    for sc, watched, handle in _PENDING_RELEASES:
+    for sc, watched, handle in pending:
         key = id(sc)
         if key not in live_cache:
             live_cache[key] = _live_work_ids(sc)
@@ -256,8 +262,9 @@ def drain_releases() -> int:
                 handle.unpersist(False)  # type: ignore[attr-defined]
             except Exception:  # noqa: BLE001
                 pass
-    _PENDING_RELEASES = still
-    return len(still)
+    with _RELEASES_LOCK:
+        _PENDING_RELEASES.extend(still)
+        return len(_PENDING_RELEASES)
 
 
 def _gated_release(sc, handle) -> None:
@@ -273,24 +280,24 @@ def _gated_release(sc, handle) -> None:
         except Exception:  # noqa: BLE001
             pass
     else:
-        _PENDING_RELEASES.append((sc, watched, handle))
+        with _RELEASES_LOCK:
+            _PENDING_RELEASES.append((sc, watched, handle))
 
 
-def flush_releases(timeout: float = 30.0) -> None:
-    """Wait (bounded) for every pending release's watched work to finish,
-    then free the blocks. Call at the end of an iterative loop; after the
-    timeout the caller's no-future-reads assertion wins and the blocks
-    are freed regardless (a straggler past ``timeout`` is already lost)."""
-    global _PENDING_RELEASES
+def flush_releases(timeout: float = 30.0) -> int:
+    """Wait (bounded) for every pending release's watched work to finish
+    and free those blocks. Entries whose watched jobs/stages are STILL
+    live after the timeout stay pending — never free under a possible
+    reader (the pool is process-global, so with concurrent queries a
+    force-free here could yank another thread's deferred handle
+    mid-read); they drain on any later gated call or die with the
+    session. Returns how many remain pending."""
     deadline = time.time() + timeout
-    while drain_releases() and time.time() < deadline:
+    while True:
+        left = drain_releases()
+        if left == 0 or time.time() >= deadline:
+            return left
         time.sleep(0.05)
-    for _sc, _watched, handle in _PENDING_RELEASES:
-        try:
-            handle.unpersist(False)  # type: ignore[attr-defined]
-        except Exception:  # noqa: BLE001
-            pass
-    _PENDING_RELEASES = []
 
 
 def _checkpointed_jrdd(df: DataFrame):

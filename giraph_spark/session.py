@@ -49,6 +49,17 @@ def get_spark(
     # Bare `python` runs get the local[cores] default.
     if "PYSPARK_GATEWAY_PORT" not in os.environ:
         builder = builder.master(f"local[{cores}]")
+        # pre-import numpy/pandas/pyarrow in the worker daemon so forked
+        # workers inherit them copy-on-write: the first Arrow job no
+        # longer pays num_slots x ~1.5s of contended imports (measured
+        # ~4-5s at local[32]; see giraph_spark/daemon_warm.py). Local
+        # mode only: the PYTHONPATH prepend above guarantees the module
+        # resolves in-process here, while on a spark-submit cluster a
+        # missing module would fail the executor hard — there, ship the
+        # package with --py-files and set the conf explicitly if wanted.
+        builder = builder.config(
+            "spark.python.daemon.module", "giraph_spark.daemon_warm"
+        )
     builder = (
         builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
@@ -86,11 +97,6 @@ def get_spark(
         # 27s -> 90s under a 1min periodic GC); superseded lineage cuts
         # are released explicitly (pregel.py prev_cut_jrdd) instead
         .config("spark.sql.session.timeZone", "UTC")
-        # pre-import numpy/pandas/pyarrow in the worker daemon so forked
-        # workers inherit them copy-on-write: the first Arrow job no
-        # longer pays num_slots x ~1.5s of contended imports (measured
-        # ~4-5s at local[32]; see giraph_spark/daemon_warm.py)
-        .config("spark.python.daemon.module", "giraph_spark.daemon_warm")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

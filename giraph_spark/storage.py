@@ -151,7 +151,7 @@ def count_exchanges(df: DataFrame) -> int:
 # Snapshot tables — Iceberg-style commit/time-travel semantics on parquet.
 #
 # The north rule names an Iceberg corpus table; this container cannot load
-# the Iceberg runtime (verified 2026-08-19, re-verified 2026-08-21:
+# the Iceberg runtime (verified 2026-08-19, re-verified twice 2026-08-21 (latest: this session):
 # `spark.jars.packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:
 # 1.10.0` fails offline with "unresolved dependency ... not found"; DNS to
 # repo1.maven.org does not resolve; no iceberg jar anywhere on disk). The same TABLE CONTRACT is therefore implemented

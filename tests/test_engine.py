@@ -400,13 +400,16 @@ def test_gated_release_pool_bookkeeping():
     sc.jobs = {99}
     assert pregel.drain_releases() == 0 and h2.freed
 
-    # flush force-frees after the bounded wait even if work never ends
+    # flush waits bounded but NEVER frees under a still-live watched job
+    # (process-global pool: forcing could yank another thread's handle
+    # mid-read); the entry stays pending and drains once the job ends
     sc2 = FakeSC(jobs={1})
     h3 = FakeHandle()
     pregel._gated_release(sc2, h3)
     assert not h3.freed
-    pregel.flush_releases(timeout=0.2)
-    assert h3.freed and pregel.drain_releases() == 0
+    assert pregel.flush_releases(timeout=0.2) == 1 and not h3.freed
+    sc2.jobs = set()
+    assert pregel.flush_releases(timeout=0.2) == 0 and h3.freed
 
     # None handle and a broken tracker degrade gracefully
     pregel._gated_release(sc2, None)
@@ -418,3 +421,23 @@ def test_gated_release_pool_bookkeeping():
     h4 = FakeHandle()
     pregel._gated_release(BrokenSC(), h4)
     assert h4.freed  # unknown liveness -> free now (pre-gating behavior)
+
+
+def test_daemon_warm_wiring(spark):
+    """The local-mode session must point the worker daemon at the
+    pre-importing module, the repo root must be on the env PYTHONPATH the
+    executor hands to that daemon, and _prewarm itself must be clean to
+    call (it runs before fork in every Python-worker daemon)."""
+    import os
+
+    from giraph_spark import daemon_warm
+
+    assert (
+        spark.conf.get("spark.python.daemon.module")
+        == "giraph_spark.daemon_warm"
+    )
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(daemon_warm.__file__))
+    )
+    assert repo_root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    daemon_warm._prewarm()  # must not raise (degrades lazily, never fails)

@@ -36,8 +36,19 @@ def to_multiset(df: pd.DataFrame):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    jobs = 1
+    for i, a in enumerate(args):
+        if a == "--jobs":
+            jobs = int(args[i + 1])
+            args = args[:i] + args[i + 2 :]
+            break
+        if a.startswith("--jobs="):
+            jobs = int(a.split("=", 1)[1])
+            args = args[:i] + args[i + 1 :]
+            break
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     # decomposition-oracle unroll bounds are measured from the sweep's
     # own SF (see __spark_entry__._oracle_sf_dir)
@@ -65,52 +76,73 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    failures = []
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+
+    def check_one(name, fn, cursor) -> tuple[bool, str]:
+        """Run one queries() entry against its oracle; returns
+        (ok, log_line). Safe to call from worker threads: the Spark
+        session schedules concurrent jobs natively and ``cursor`` is a
+        per-thread DuckDB cursor over the shared view catalog."""
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
-            print(f"[FAIL-SPARK] {name}: {exc}")
-            failures.append(name)
-            continue
+            return False, f"[FAIL-SPARK] {name}: {exc}"
         t_spark = time.time() - t0
         if name not in oracles:
-            print(f"[NO-ORACLE] {name}: rows={len(sdf)} spark={t_spark:.1f}s")
-            continue
+            return True, f"[NO-ORACLE] {name}: rows={len(sdf)} spark={t_spark:.1f}s"
         t0 = time.time()
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            odf = cursor.execute(oracles[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
-            print(f"[FAIL-SQL]  {name}: {exc}")
-            failures.append(name)
-            continue
+            return False, f"[FAIL-SQL]  {name}: {exc}"
         t_sql = time.time() - t0
         scols, srows = to_multiset(sdf)
         ocols, orows = to_multiset(odf)
         if scols != ocols:
-            print(f"[FAIL-COLS] {name}: spark={scols} oracle={ocols}")
-            failures.append(name)
-            continue
+            return False, f"[FAIL-COLS] {name}: spark={scols} oracle={ocols}"
         if len(srows) != len(orows):
-            print(f"[FAIL-ROWS] {name}: spark={len(srows)} oracle={len(orows)}")
-            failures.append(name)
-            continue
+            return False, f"[FAIL-ROWS] {name}: spark={len(srows)} oracle={len(orows)}"
         bad = sum(1 for a, b in zip(srows, orows) if a != b)
         if bad:
-            print(f"[FAIL-VALS] {name}: {bad}/{len(srows)} rows differ")
+            detail = ""
             for a, b in zip(srows, orows):
                 if a != b:
-                    print(f"   spark={a}\n   duck ={b}")
+                    detail = f"\n   spark={a}\n   duck ={b}"
                     break
-            failures.append(name)
-        else:
-            print(
-                f"[OK]        {name}: rows={len(srows)} "
-                f"spark={t_spark:.1f}s duckdb={t_sql:.1f}s"
-            )
+            return False, f"[FAIL-VALS] {name}: {bad}/{len(srows)} rows differ{detail}"
+        return True, (
+            f"[OK]        {name}: rows={len(srows)} "
+            f"spark={t_spark:.1f}s duckdb={t_sql:.1f}s"
+        )
+
+    todo = [(n, f) for n, f in qs.items() if not only or n in only]
+    failures = []
+    if jobs <= 1:
+        for name, fn in todo:
+            ok, line = check_one(name, fn, con)
+            print(line, flush=True)
+            if not ok:
+                failures.append(name)
+    else:
+        # correctness-focused parallel sweep: per-query wall times are
+        # inflated by contention and NOT comparable to jobs=1 logs
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        local = threading.local()
+
+        def run(item):
+            name, fn = item
+            if not hasattr(local, "cur"):
+                local.cur = con.cursor()
+            return name, *check_one(name, fn, local.cur)
+
+        print(f"# parallel sweep: jobs={jobs} (timings contention-inflated)")
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            for name, ok, line in pool.map(run, todo):
+                print(line, flush=True)
+                if not ok:
+                    failures.append(name)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
     return 1 if failures else 0
 
