@@ -59,7 +59,8 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from giraph_spark.session import get_spark
 
-    spark = get_spark(app_name="check-entry", cores=8, shuffle_partitions=8)
+    cores = int(os.environ.get("SPARK_GRAFT_ORACLE_CORES", "8"))
+    spark = get_spark(app_name="check-entry", cores=cores, shuffle_partitions=8)
 
     con = duckdb.connect()
     # in-memory DuckDB cannot spill unless a temp_directory is set; the
