@@ -406,8 +406,9 @@ def trussness(
     # off every submitted stage belongs to the awaited job, so
     # program-order release is sound; the empty-frontier probe skip and
     # the one-round release deferral below are additional layers.
-    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    from giraph_spark.pregel import restore_aqe, suppress_aqe
+
+    suppress_aqe(spark)  # refcounted: safe under overlapping loops
     try:
         return _trussness_peel(
             spark,
@@ -422,7 +423,7 @@ def trussness(
             orient_frontier=orient_frontier,
         )
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+        restore_aqe(spark)
         _hadoop_rm(spark, scratch_parent if scratch_parent is not None else deep_dir)
 
 
@@ -694,7 +695,10 @@ def _trussness_peel(
         sup_release()
     if orient_release is not None:
         orient_release()
-    # the decomposition is done: wait out any stragglers still reading a
-    # released block, then free everything (bounded; see flush_releases)
-    flush_releases()
+    # the decomposition is done: give stragglers a short bounded window
+    # to finish so their blocks free now; anything still watched stays
+    # pending and drains on a later gated call (never freed under a
+    # live reader) — a long wait here would only stall concurrent-query
+    # harnesses whose unrelated jobs keep the watch sets live
+    flush_releases(timeout=5.0)
     return out

@@ -197,8 +197,9 @@ def run_mutable_supersteps(
     prev_e_cut = None  # released explicitly (unpersist() won't free them)
     # fixed-shape superstep plans: adaptive re-planning only adds driver
     # latency here (see run_supersteps for the measured A/B)
-    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    from giraph_spark.pregel import restore_aqe, suppress_aqe
+
+    suppress_aqe(spark)  # refcounted: safe under overlapping loops
     try:
         while superstep < max_supersteps:
             t0 = time.time()
@@ -253,7 +254,7 @@ def run_mutable_supersteps(
                 converged = True
                 break
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+        restore_aqe(spark)
     run = PregelRun(vertices=v, supersteps=superstep, converged=converged, history=history)
     run.edges = e  # type: ignore[attr-defined]
     return run

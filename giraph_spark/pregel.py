@@ -202,6 +202,45 @@ def materialize_count(df: DataFrame, pred_col: str) -> int:
     return int(row["c"] or 0)
 
 
+# --- refcounted AQE suppression ------------------------------------------
+#
+# The iterative loops disable AQE for their duration (fixed-shape plans;
+# rationale at run_supersteps). A bare save/set/restore races when two
+# loops overlap on the SAME session from different threads (e.g. the
+# parallel oracle sweep, or a streaming foreachBatch): loop A's restore
+# can re-enable AQE in the middle of loop B's run — re-creating the
+# orphaned-stage condition the release gating guards against — and B's
+# restore then pins A's suppressed value forever. Suppression is
+# therefore REFCOUNTED per session-conf: the first suppressor saves the
+# user's value and turns AQE off; only the last one out restores it.
+# Keyed by the session object (cloned foreachBatch sessions have their
+# own SQLConf and suppress independently).
+
+_AQE_LOCK = __import__("threading").Lock()
+_AQE_STATE: dict[int, tuple[int, str]] = {}  # id(session) -> (depth, saved)
+
+
+def suppress_aqe(spark) -> None:
+    """Turn AQE off for this session, refcounted (pair with restore_aqe)."""
+    with _AQE_LOCK:
+        depth, saved = _AQE_STATE.get(id(spark), (0, "true"))
+        if depth == 0:
+            saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _AQE_STATE[id(spark)] = (depth + 1, saved)
+
+
+def restore_aqe(spark) -> None:
+    """Undo one suppress_aqe; restores the saved value at depth zero."""
+    with _AQE_LOCK:
+        depth, saved = _AQE_STATE.get(id(spark), (0, "true"))
+        if depth <= 1:
+            _AQE_STATE.pop(id(spark), None)
+            spark.conf.set("spark.sql.adaptive.enabled", saved)
+        else:
+            _AQE_STATE[id(spark)] = (depth - 1, saved)
+
+
 # --- job-completion-gated checkpoint-block release -----------------------
 #
 # Releasing a localCheckpoint block that a still-running task reads aborts
@@ -371,14 +410,19 @@ class LineageCuts:
     """
 
     def __init__(self) -> None:
-        self._handles: dict[str, object] = {}
+        # slot -> (SparkContext, java-RDD handle): the sc is captured at
+        # cut time so release() can gate on live work even when called
+        # from a thread where SparkSession.getActiveSession() is None
+        # (fresh py4j threads don't inherit the active-session local)
+        self._handles: dict[str, tuple[Any, object]] = {}
 
     def cut(self, df: DataFrame, slot: str) -> DataFrame:
         out = df.localCheckpoint(eager=True)
+        sc = df.sparkSession.sparkContext
         prev = self._handles.get(slot)
         if prev is not None:
-            _gated_release(df.sparkSession.sparkContext, prev)
-        self._handles[slot] = _checkpointed_jrdd(out)
+            _gated_release(*prev)
+        self._handles[slot] = (sc, _checkpointed_jrdd(out))
         return out
 
     def forget(self, slot: str) -> None:
@@ -390,10 +434,7 @@ class LineageCuts:
         """Free a slot's blocks once no live job/stage can read them."""
         prev = self._handles.pop(slot, None)
         if prev is not None:
-            from pyspark.sql import SparkSession
-
-            spark = SparkSession.getActiveSession()
-            _gated_release(spark.sparkContext if spark else None, prev)
+            _gated_release(*prev)
 
 
 @dataclass
@@ -519,8 +560,7 @@ def run_supersteps(
     converged = False
     last_saved = superstep if (resume and ckpt is not None) else None
     prev_cut_jrdd = None  # java RDD behind the previous lineage cut
-    _aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    suppress_aqe(spark)  # refcounted: safe under overlapping loops
     try:
         # inside the try so a raising hook cannot leak AQE=false into the
         # shared session (the finally below always restores it)
@@ -628,7 +668,7 @@ def run_supersteps(
         if hooks is not None and hooks.post_application is not None:
             hooks.post_application(current)
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", _aqe_prev)
+        restore_aqe(spark)
         # opportunistic, non-forcing: free any release whose watched
         # work has finished (the loop's own releases are usually freed
         # inline; this catches ones deferred past a straggler)

@@ -343,8 +343,11 @@ def test_gated_release_pool_bookkeeping():
     """Deterministic unit test of the job/stage-gated release pool
     (pregel._gated_release / drain_releases / flush_releases): a handle
     whose watched job or stage is still live must NOT be freed, a drain
-    after the work finishes must free it, and flush force-frees after
-    its bounded wait. Uses fakes so no Spark scheduling races apply."""
+    after the work finishes must free it, and flush waits bounded but
+    never frees a still-watched handle. Uses fakes so no Spark
+    scheduling races apply; the process-global pool is stashed for the
+    test's duration so deferred stragglers from earlier real-Spark
+    tests can't skew the counts (restored afterwards)."""
     from giraph_spark import pregel
 
     class FakeHandle:
@@ -372,7 +375,20 @@ def test_gated_release_pool_bookkeeping():
         def statusTracker(self):
             return FakeTracker(self)
 
-    assert pregel.drain_releases() == 0, "pool must start empty in-suite"
+    # stash any deferred entries earlier suite tests legitimately left
+    # (their watched jobs may still be live on the shared session)
+    with pregel._RELEASES_LOCK:
+        stashed = pregel._PENDING_RELEASES
+        pregel._PENDING_RELEASES = []
+    try:
+        _pool_cases(pregel, FakeSC, FakeHandle)
+    finally:
+        with pregel._RELEASES_LOCK:
+            pregel._PENDING_RELEASES.extend(stashed)
+
+
+def _pool_cases(pregel, FakeSC, FakeHandle):
+    assert pregel.drain_releases() == 0
 
     # no live work at request time -> freed inline
     sc = FakeSC()
@@ -441,3 +457,21 @@ def test_daemon_warm_wiring(spark):
     )
     assert repo_root in os.environ.get("PYTHONPATH", "").split(os.pathsep)
     daemon_warm._prewarm()  # must not raise (degrades lazily, never fails)
+
+
+def test_aqe_suppression_refcounted(spark):
+    """Overlapping iterative loops on one session must not race the AQE
+    conf: the first suppressor saves the user's value, nesting keeps it
+    off, and only the last restore puts the saved value back."""
+    from giraph_spark.pregel import restore_aqe, suppress_aqe
+
+    key = "spark.sql.adaptive.enabled"
+    user_val = spark.conf.get(key)
+    suppress_aqe(spark)
+    assert spark.conf.get(key) == "false"
+    suppress_aqe(spark)  # a second loop overlaps
+    assert spark.conf.get(key) == "false"
+    restore_aqe(spark)  # first loop exits: must STAY suppressed
+    assert spark.conf.get(key) == "false"
+    restore_aqe(spark)  # last loop exits: user value restored
+    assert spark.conf.get(key) == user_val

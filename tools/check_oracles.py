@@ -38,15 +38,19 @@ def to_multiset(df: pd.DataFrame):
 def main() -> int:
     args = sys.argv[1:]
     jobs = 1
-    for i, a in enumerate(args):
-        if a == "--jobs":
-            jobs = int(args[i + 1])
-            args = args[:i] + args[i + 2 :]
-            break
-        if a.startswith("--jobs="):
-            jobs = int(a.split("=", 1)[1])
-            args = args[:i] + args[i + 1 :]
-            break
+    try:
+        for i, a in enumerate(args):
+            if a == "--jobs":
+                jobs = int(args[i + 1])
+                args = args[:i] + args[i + 2 :]
+                break
+            if a.startswith("--jobs="):
+                jobs = int(a.split("=", 1)[1])
+                args = args[:i] + args[i + 1 :]
+                break
+    except (IndexError, ValueError):
+        print("usage: check_oracles.py [sf_dir] [--jobs N] [query ...]")
+        return 2
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
